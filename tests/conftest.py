@@ -1,0 +1,27 @@
+"""Test harness: force an 8-device virtual CPU platform BEFORE jax imports so
+distributed code paths (psum'd VQ EMA, data-parallel steps, k-means all_gather)
+run exactly as they would on a v5e-8 — per SURVEY.md §4."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Some environments pre-import jax via sitecustomize with another platform
+# pinned; force the default platform to CPU post-import as well.
+import jax
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
