@@ -1,0 +1,129 @@
+"""Invertible 2-D projective warps with explicit 3×3 matrices.
+
+Behavioral spec: kornia's `warp_perspective` + `RandomAffine(return_transform=
+True)` / `RandomHorizontalFlip(return_transform=True)` as used by the
+reference's `src/networks/random_transform.py:76-112` — geometric augmentations
+record per-sample 3×3 matrices, which are later re-applied (`forward_transform`,
+nearest) or inverted and applied in reverse order (`reverse_transform`,
+nearest) to integer label maps. This matrix round-trip is the core of the
+augmentation-equivariance loss.
+
+TPU-first: matrices are data (B,3,3 arrays) sampled from explicit PRNG keys;
+the warp is a single gather (`jax.scipy.ndimage.map_coordinates`) per image,
+vmapped over the batch — static shapes, fully jit-compatible, no host round
+trips. Convention matches kornia: a matrix M maps *source* pixel coordinates
+(x, y, 1) to *destination* coordinates; warping samples the source at M⁻¹·dst
+with zero padding outside the image. Pixel centers sit at integer coordinates
+(align_corners=True convention); the image center used by affine matrices is
+((W−1)/2, (H−1)/2).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def identity_matrix(batch: int) -> jax.Array:
+    return jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (batch, 3, 3))
+
+
+def hflip_matrix(width: int) -> jax.Array:
+    """x → (W−1) − x. Kornia's RandomHorizontalFlip transform."""
+    return jnp.array(
+        [[-1.0, 0.0, width - 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32
+    )
+
+
+def affine_matrix(
+    angle_deg,
+    translate_xy,
+    scale_xy,
+    shear_deg_xy,
+    height: int,
+    width: int,
+) -> jax.Array:
+    """Affine about the image center, kornia `get_affine_matrix2d` semantics.
+
+    angle_deg: () rotation; translate_xy: (2,) pixels; scale_xy: (2,);
+    shear_deg_xy: (2,) degrees. All may be traced scalars (batched via vmap).
+    """
+    theta = jnp.deg2rad(angle_deg)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    sx, sy = scale_xy[0], scale_xy[1]
+    shx = jnp.tan(jnp.deg2rad(shear_deg_xy[0]))
+    shy = jnp.tan(jnp.deg2rad(shear_deg_xy[1]))
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+
+    # rot·scale·shear linear part
+    a = cos * sx
+    b = -sin * sy
+    c = sin * sx
+    d = cos * sy
+    # apply shear: [[1, shx],[shy, 1]] pre-multiplied into the linear map
+    lin = jnp.array([[a, b], [c, d]], jnp.float32) @ jnp.array(
+        [[1.0, shx], [shy, 1.0]], jnp.float32
+    )
+    center = jnp.array([cx, cy], jnp.float32)
+    offset = center + jnp.asarray(translate_xy, jnp.float32) - lin @ center
+    m = jnp.eye(3, dtype=jnp.float32)
+    m = m.at[:2, :2].set(lin)
+    m = m.at[:2, 2].set(offset)
+    return m
+
+
+def _warp_single(img_hwc, mat_inv, order: int):
+    """Sample source image at M⁻¹·dst for every destination pixel."""
+    h, w, c = img_hwc.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = mat_inv[0, 0] * xs + mat_inv[0, 1] * ys + mat_inv[0, 2]
+    sy = mat_inv[1, 0] * xs + mat_inv[1, 1] * ys + mat_inv[1, 2]
+    sden = mat_inv[2, 0] * xs + mat_inv[2, 1] * ys + mat_inv[2, 2]
+    sx = sx / sden
+    sy = sy / sden
+
+    def per_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, [sy, sx], order=order, mode="constant", cval=0.0
+        )
+
+    return jnp.stack(
+        [per_channel(img_hwc[..., i]) for i in range(c)], axis=-1
+    )
+
+
+@partial(jax.jit, static_argnames=("method",))
+def warp_perspective(x, mats, method: str = "bilinear"):
+    """Warp x (B,H,W,C) by per-sample src→dst matrices mats (B,3,3).
+
+    method: 'bilinear' for images, 'nearest' for integer label maps
+    (kornia `warp_perspective(..., mode=...)` parity; zeros padding).
+    """
+    order = {"bilinear": 1, "nearest": 0}[method]
+    mats_inv = jnp.linalg.inv(mats.astype(jnp.float32))
+    return jax.vmap(lambda im, mi: _warp_single(im, mi, order))(
+        x.astype(jnp.float32), mats_inv
+    )
+
+
+def warp_ids_forward(ids, mats_list):
+    """Re-apply recorded warps (in order, nearest) to an id map (B,H,W).
+
+    Spec: reference `random_transform.py:93-104` (forward_transform).
+    """
+    x = ids.astype(jnp.float32)[..., None]
+    for mats in mats_list:
+        x = warp_perspective(x, mats, method="nearest")
+    return x[..., 0]
+
+
+def warp_ids_reverse(ids, mats_list):
+    """Apply inverted warps in reverse order (nearest) to an id map (B,H,W).
+
+    Spec: reference `random_transform.py:106-112` (reverse_transform).
+    """
+    x = ids.astype(jnp.float32)[..., None]
+    for mats in reversed(mats_list):
+        x = warp_perspective(x, jnp.linalg.inv(mats.astype(jnp.float32)), method="nearest")
+    return x[..., 0]
