@@ -1,0 +1,14 @@
+"""Flax modules. NHWC layouts throughout; sync-batch-norm via `axis_name`."""
+
+from .blocks import (
+    ASPP,
+    DoubleConv,
+    ResBlock,
+    StyledDenorm,
+    StyledResUpBlock,
+    UpBlock,
+    instance_norm,
+    pixel_shuffle,
+)
+from .unet_encoder import UNetEncoder, EncoderWithVQ
+from .unet_decoder import UNetDecoder

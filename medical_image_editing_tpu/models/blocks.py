@@ -1,0 +1,195 @@
+"""Primitive network blocks.
+
+Behavioral spec: reference `src/networks/blocks.py` (DoubleConv, ResBlock,
+UpBlock, StyledDenorm, StyledResUpBlock) and `src/networks/aspp.py` (ASPP).
+
+TPU-first notes:
+* NHWC layout; 3×3 convs map straight onto the MXU via
+  `lax.conv_general_dilated` with SAME padding.
+* InstanceNorm (torch `nn.InstanceNorm2d` defaults: no affine, no running
+  stats, eps 1e-5) is a pure per-sample reduction — implemented as a fused
+  function rather than a module.
+* StyledDenorm's parameter-free BatchNorm (SPADE, `blocks.py:64-90`) carries
+  running stats in the `batch_stats` collection; pass `axis_name='data'` for
+  cross-replica (sync-BN) batch statistics — the TPU equivalent of
+  `sync_batchnorm=True` (`run_vqwnet.py:121`).
+* Weight init: flax defaults (lecun_normal). The reference's `init_weights`
+  only matches 3-D layer types so its 2-D convs keep torch defaults anyway
+  (`src/networks/initialize.py:11-56` — quirk documented in SURVEY.md §2.3);
+  no init parity is attempted.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def instance_norm(x, eps: float = 1e-5):
+    """Per-sample, per-channel normalization over H,W; no affine params.
+
+    Spec: torch `nn.InstanceNorm2d(out_channels)` defaults as used throughout
+    `src/networks/blocks.py`.
+    """
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def nearest_upsample(x, factor: int = 2):
+    """`nn.Upsample(scale_factor=2, mode='nearest')`."""
+    return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
+
+
+def pixel_shuffle(x, factor: int = 2):
+    """torch `nn.PixelShuffle` in NHWC: (B,H,W,C·r²) → (B,H·r,W·r,C).
+
+    Channel layout matches torch's (C, r, r) ordering.
+    """
+    b, h, w, crr = x.shape
+    c = crr // (factor * factor)
+    x = x.reshape(b, h, w, c, factor, factor)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def max_pool_2x2(x):
+    """`nn.MaxPool2d(2)`."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+class DoubleConv(nn.Module):
+    """(Conv3×3 → IN → ReLU) ×2; the no-output-act variant drops the second
+    IN+ReLU entirely. Spec: `blocks.py:39-61`."""
+
+    features: int
+    use_output_act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.relu(instance_norm(x))
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        if self.use_output_act:
+            x = nn.relu(instance_norm(x))
+        return x
+
+
+class ResBlock(nn.Module):
+    """DoubleConv + (1×1 conv, IN) identity, ReLU; returns (maxpooled, skip).
+
+    Spec: `blocks.py:21-36`.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        identity = instance_norm(
+            nn.Conv(self.features, (1, 1), use_bias=False)(x)
+        )
+        out = DoubleConv(self.features)(x)
+        out = nn.relu(out + identity)
+        return max_pool_2x2(out), out
+
+
+class UpBlock(nn.Module):
+    """Nearest-upsample + concat skip + DoubleConv. Spec: `blocks.py:9-18`."""
+
+    features: int
+    use_output_act: bool = True
+
+    @nn.compact
+    def __call__(self, down_input, skip_input):
+        x = nearest_upsample(down_input)
+        x = jnp.concatenate([x, skip_input], axis=-1)
+        return DoubleConv(self.features, self.use_output_act)(x)
+
+
+class StyledDenorm(nn.Module):
+    """SPADE denormalization: param-free BatchNorm modulated by γ,β computed
+    from the style tensor. Spec: `blocks.py:64-90`.
+
+    `axis_name` enables cross-replica batch statistics (sync-BN parity).
+    """
+
+    features: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, style, train: bool = True):
+        normalized = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            use_bias=False,
+            use_scale=False,
+            axis_name=self.axis_name,
+        )(x)
+        actv = nn.relu(nn.Conv(self.features, (3, 3), padding="SAME")(style))
+        gamma = nn.Conv(self.features, (3, 3), padding="SAME")(actv)
+        beta = nn.Conv(self.features, (3, 3), padding="SAME")(actv)
+        return normalized * (1.0 + gamma) + beta
+
+
+class StyledResUpBlock(nn.Module):
+    """Upsample (nearest or conv+PixelShuffle) then two styled conv-norms with
+    a plain conv-IN-ReLU residual. The skip connection is the SPADE *style*.
+
+    Spec: `blocks.py:93-134`.
+    """
+
+    features: int
+    use_output_act: bool = True
+    use_pixel_shuffle: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, down_input, skip_input, train: bool = True):
+        in_ch = down_input.shape[-1]
+        if self.use_pixel_shuffle:
+            x = nn.Conv(in_ch * 4, (3, 3), padding="SAME")(down_input)
+            x = pixel_shuffle(x, 2)
+        else:
+            x = nearest_upsample(down_input)
+
+        s = nn.relu(instance_norm(nn.Conv(self.features, (3, 3), padding="SAME")(x)))
+
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = StyledDenorm(self.features, axis_name=self.axis_name)(x, skip_input, train)
+        x = nn.relu(x)
+
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = StyledDenorm(self.features, axis_name=self.axis_name)(x, skip_input, train)
+        if self.use_output_act:
+            x = nn.relu(x)
+
+        return s + x
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling: 1×1 stage + one dilated 3×3 stage per
+    rate, each Conv(bias-free)-IN-ReLU, concatenated on channels.
+
+    Spec: `src/networks/aspp.py:31-47` (with InstanceNorm as its "bn").
+    """
+
+    features: int
+    rates: Sequence[int] = (2, 6, 12, 18)
+
+    @nn.compact
+    def __call__(self, x):
+        outs = [
+            nn.relu(instance_norm(nn.Conv(self.features, (1, 1), use_bias=False)(x)))
+        ]
+        for rate in self.rates:
+            y = nn.Conv(
+                self.features,
+                (3, 3),
+                padding=[(rate, rate), (rate, rate)],
+                kernel_dilation=(rate, rate),
+                use_bias=False,
+            )(x)
+            outs.append(nn.relu(instance_norm(y)))
+        return jnp.concatenate(outs, axis=-1)

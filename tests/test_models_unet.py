@@ -1,0 +1,190 @@
+"""Shape/behavior tests for the U-Net encoder/decoder and blocks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_editing_tpu.models import (
+    ASPP,
+    DoubleConv,
+    ResBlock,
+    StyledDenorm,
+    StyledResUpBlock,
+    UNetDecoder,
+    UNetEncoder,
+    UpBlock,
+    instance_norm,
+    pixel_shuffle,
+)
+from medical_image_editing_tpu.models.unet_encoder import (
+    EncoderWithVQ,
+    get_embed_from_ids,
+    init_codebook_from_batch,
+)
+from medical_image_editing_tpu.ops.vq import vq_init
+
+FILTERS = (4, 8, 16, 32, 64)  # tiny for tests; real: (16,32,64,128,256)
+
+
+def test_instance_norm_stats(rng):
+    x = jnp.asarray(rng.normal(3.0, 2.0, (2, 8, 8, 3)).astype(np.float32))
+    out = np.asarray(instance_norm(x))
+    np.testing.assert_allclose(out.mean(axis=(1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(out.std(axis=(1, 2)), 1.0, atol=1e-3)
+
+
+def test_pixel_shuffle_matches_torch_layout(rng):
+    import torch
+
+    x = rng.normal(size=(1, 8, 3, 3)).astype(np.float32)  # NCHW C=8=2*2*2
+    want = torch.pixel_shuffle(torch.from_numpy(x), 2).numpy()  # (1,2,6,6)
+    got = np.asarray(pixel_shuffle(jnp.asarray(x.transpose(0, 2, 3, 1)), 2))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-6)
+
+
+def test_resblock_shapes(rng):
+    m = ResBlock(8)
+    x = jnp.zeros((2, 16, 16, 3))
+    vars_ = m.init(jax.random.key(0), x)
+    pooled, skip = m.apply(vars_, x)
+    assert pooled.shape == (2, 8, 8, 8)
+    assert skip.shape == (2, 16, 16, 8)
+
+
+def test_upblock_shapes(rng):
+    m = UpBlock(8)
+    down = jnp.zeros((2, 8, 8, 16))
+    skip = jnp.zeros((2, 16, 16, 8))
+    vars_ = m.init(jax.random.key(0), down, skip)
+    out = m.apply(vars_, down, skip)
+    assert out.shape == (2, 16, 16, 8)
+
+
+def test_styled_denorm_modulates(rng):
+    m = StyledDenorm(6)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    style = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    vars_ = m.init(jax.random.key(0), x, style, train=True)
+    out, updated = m.apply(vars_, x, style, True, mutable=["batch_stats"])
+    assert out.shape == x.shape
+    assert "batch_stats" in updated
+    # eval path uses running stats
+    out_eval = m.apply(
+        {"params": vars_["params"], "batch_stats": updated["batch_stats"]},
+        x, style, False,
+    )
+    assert out_eval.shape == x.shape
+
+
+def test_styled_res_up_block_both_upsamplers(rng):
+    for ps in (False, True):
+        m = StyledResUpBlock(8, use_pixel_shuffle=ps)
+        down = jnp.zeros((1, 8, 8, 16))
+        skip = jnp.zeros((1, 16, 16, 8))
+        vars_ = m.init(jax.random.key(0), down, skip, train=True)
+        out, _ = m.apply(vars_, down, skip, True, mutable=["batch_stats"])
+        assert out.shape == (1, 16, 16, 8)
+
+
+def test_aspp_output_channels(rng):
+    m = ASPP(8, rates=(2, 6, 12, 18))
+    x = jnp.zeros((1, 32, 32, 8))
+    vars_ = m.init(jax.random.key(0), x)
+    out = m.apply(vars_, x)
+    assert out.shape == (1, 32, 32, 5 * 8)
+
+
+def test_unet_encoder_full_resolution(rng):
+    m = UNetEncoder(filters=FILTERS)
+    x = jnp.zeros((2, 32, 32, 1))
+    vars_ = m.init(jax.random.key(0), x, train=False)
+    feats = m.apply(vars_, x, train=False)
+    assert feats.shape == (2, 32, 32, FILTERS[0])
+
+
+def test_encoder_with_vq_end_to_end(rng):
+    enc = EncoderWithVQ(filters=FILTERS, dict_size=6, momentum=0.9)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    variables, vq_state = enc.init(jax.random.key(0), x)
+    q, commit, ids, new_vq, updated = enc(variables, vq_state, x, train=True)
+    assert q.shape == (2, 32, 32, FILTERS[0])
+    assert ids.shape == (2, 32, 32)
+    ids_np = np.asarray(ids)
+    assert ids_np.min() >= 1 and ids_np.max() <= 6  # +1 offset
+    assert float(commit) > 0
+    assert not np.allclose(np.asarray(new_vq.cluster_size), np.asarray(vq_state.cluster_size))
+
+
+def test_get_embed_from_ids_roundtrip(rng):
+    vq_state = vq_init(jax.random.key(0), 5, 4)
+    ids = jnp.asarray(rng.integers(0, 5, (1, 8, 8)).astype(np.int32))
+    emb = get_embed_from_ids(vq_state, ids)
+    assert emb.shape == (1, 8, 8, 4)
+    np.testing.assert_allclose(
+        np.asarray(emb)[0, 0, 0], np.asarray(vq_state.embed)[int(ids[0, 0, 0])]
+    )
+
+
+def test_init_codebook_from_batch(rng):
+    vq_state = vq_init(jax.random.key(0), 4, 4)
+    feats = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    new = init_codebook_from_batch(jax.random.key(1), feats, vq_state, num_iters=10)
+    assert new.embed.shape == (4, 4)
+    assert not np.allclose(np.asarray(new.embed), np.asarray(vq_state.embed))
+    np.testing.assert_allclose(np.asarray(new.embed_avg), np.asarray(new.embed))
+
+
+@pytest.mark.parametrize("last_ps", [False, True])
+def test_unet_decoder_heads(rng, last_ps):
+    m = UNetDecoder(
+        out_channels=1,
+        filters=FILTERS,
+        use_last_pixel_shuffle=last_ps,
+        dropped_skip_layers=(),
+    )
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, FILTERS[0])).astype(np.float32))
+    vars_ = m.init(jax.random.key(0), x, train=False)
+    out, _ = m.apply(vars_, x, True, mutable=["batch_stats"])
+    assert out.shape == (1, 32, 32, 1)
+    assert np.abs(np.asarray(out)).max() <= 1.0  # tanh
+
+
+def test_unet_decoder_dropblock_and_dropped_skips(rng):
+    m = UNetDecoder(
+        out_channels=1,
+        filters=FILTERS,
+        use_dropblock=True,
+        block_size=3,
+        dropped_skip_layers=(0, 1),
+    )
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, FILTERS[0])).astype(np.float32))
+    vars_ = m.init(
+        {"params": jax.random.key(0), "dropblock": jax.random.key(1)}, x, train=False
+    )
+    out, _ = m.apply(
+        vars_, x, True, 0.3,
+        mutable=["batch_stats"], rngs={"dropblock": jax.random.key(2)},
+    )
+    assert out.shape == (1, 32, 32, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_encoder_decoder_pipeline_jit(rng):
+    """The flagship forward (encode→VQ→decode) compiles as one jitted graph."""
+    enc = EncoderWithVQ(filters=FILTERS, dict_size=6)
+    dec = UNetDecoder(out_channels=1, filters=FILTERS, dropped_skip_layers=())
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 1)).astype(np.float32))
+    enc_vars, vq_state = enc.init(jax.random.key(0), x)
+    q0, *_ = enc(enc_vars, vq_state, x, train=False)
+    dec_vars = dec.init(jax.random.key(1), q0, train=False)
+
+    @jax.jit
+    def forward(enc_vars, dec_vars, vq_state, x):
+        q, commit, ids, _, _ = enc(enc_vars, vq_state, x, train=False)
+        recon = dec.apply(dec_vars, q, False)
+        return recon, ids
+
+    recon, ids = forward(enc_vars, dec_vars, vq_state, x)
+    assert recon.shape == x.shape
+    assert np.isfinite(np.asarray(recon)).all()
