@@ -1,0 +1,101 @@
+"""Benchmark harness — prints ONE JSON line.
+
+North-star metric (BASELINE.md): VQ-WNet first-stage training images/sec/chip
+at 256², batch 8, flagship config (enc [16,32,64,128,256], dec
+[32,64,128,256,512], dict_size 10). `vs_baseline` compares against the
+CPU-baseline images/sec measured once on this container's host CPU
+(BASELINE.json target: >10× CPU baseline on TPU).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Measured once with JAX_PLATFORMS=cpu on this container (see bench_cpu_baseline
+# below): first-stage train step, 256², batch 8, flagship config.
+CPU_BASELINE_IMGS_PER_SEC = 0.53
+
+IMAGE_SIZE = 256
+BATCH = 8
+AUG = {
+    "modules": ["RandomHorizontalFlip", "RandomAffine", "RandomGaussianNoise"],
+    "RandomHorizontalFlip": {"p": 0.5},
+    "RandomAffine": {"degrees": 5.0, "translate": [0.02, 0.02], "p": 0.8},
+    "RandomGaussianNoise": {"std": 0.03, "p": 0.5},
+}
+
+
+def build():
+    from medical_image_editing_tpu.models import UNetDecoder
+    from medical_image_editing_tpu.models.unet_encoder import EncoderWithVQ
+    from medical_image_editing_tpu.train import create_train_state, make_first_stage_step
+    from medical_image_editing_tpu.train.first_stage import FirstStageLossConfig
+    from medical_image_editing_tpu.train.state import make_optimizer
+
+    enc = EncoderWithVQ(filters=(16, 32, 64, 128, 256), dict_size=10, momentum=0.999)
+    dec = UNetDecoder(
+        out_channels=1,
+        filters=(32, 64, 128, 256, 512),
+        dropped_skip_layers=(),
+        use_pixel_shuffle=False,
+    )
+    x0 = jnp.zeros((BATCH, IMAGE_SIZE, IMAGE_SIZE, 1), jnp.float32)
+    enc_vars, vq = enc.init(jax.random.key(0), x0)
+    q, *_ = enc(enc_vars, vq, x0, train=False)
+    dec_vars = dec.init(
+        {"params": jax.random.key(1), "dropblock": jax.random.key(2)}, q, train=False
+    )
+    enc_tx, dec_tx = make_optimizer(1e-4), make_optimizer(1e-4)
+    state = create_train_state(jax.random.key(3), enc_vars, dec_vars, vq, enc_tx, dec_tx)
+    # NB: no donate_argnums — buffer donation trips an InvalidArgument runtime
+    # error in this environment's TPU PJRT plugin; revisit on real v5e pods.
+    step = jax.jit(
+        make_first_stage_step(
+            enc,
+            dec,
+            enc_tx,
+            dec_tx,
+            loss_cfg=FirstStageLossConfig(margin=0.5),
+            aug_cfg=AUG,
+            dict_size=10,
+        )
+    )
+    return state, step
+
+
+def main():
+    state, step = build()
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(
+        rng.uniform(-1, 1, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 1)).astype(np.float32)
+    )
+
+    # warmup / compile (and validate the value actually materializes)
+    state, metrics = step(state, image, jnp.float32(0.0))
+    assert np.isfinite(float(metrics["total"]))
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, image, jnp.float32(0.0))
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = n_iters * BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vqwnet_train_images_per_sec_per_chip_256",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / CPU_BASELINE_IMGS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""1-D data-parallel mesh helpers.
+
+TPU-native equivalents of the reference's distributed runtime (SURVEY.md §2.8):
+
+| reference (NCCL/DDP)                         | here                                  |
+|----------------------------------------------|---------------------------------------|
+| DDP gradient all-reduce                      | `lax.pmean(grads, DATA_AXIS)` in step |
+| VQ EMA `all_reduce(stats)/world_size`        | `lax.pmean` inside `vq_apply`         |
+| k-means init `all_gather` + rank-0 broadcast | `lax.all_gather` + replicated compute |
+| `sync_batchnorm=True`                        | `nn.BatchNorm(axis_name=DATA_AXIS)`   |
+
+The per-device step function is written once with `axis_name=DATA_AXIS` and
+wrapped with `jax.shard_map`: state replicated, batch sharded on its leading
+axis, outputs replicated (guaranteed by the pmean'd grads/stats).
+"""
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
+    """Shard a batch pytree along its leading axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(tree, sharding)
+
+
+def data_parallel(
+    step_fn: Callable,
+    mesh: Mesh,
+    *,
+    n_state_args: int = 1,
+    axis: str = DATA_AXIS,
+) -> Callable:
+    """Wrap a per-device step into a jitted data-parallel step.
+
+    `step_fn(state..., batch...)` must already use `axis` for its collectives
+    (grad pmean, VQ stats, batch stats). The first `n_state_args` arguments are
+    replicated; the rest are sharded along their leading axis. All outputs are
+    replicated.
+    """
+
+    def wrapped(*args):
+        def spec_for(i, arg):
+            if i < n_state_args:
+                return P()
+            leaves = jax.tree.leaves(arg)
+            # scalars (e.g. a scheduled drop_prob) are replicated
+            if all(getattr(l, "ndim", 0) == 0 for l in leaves):
+                return P()
+            return P(axis)
+
+        in_specs = tuple(spec_for(i, a) for i, a in enumerate(args))
+        mapped = jax.shard_map(
+            step_fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P(),
+            check_vma=False,
+        )
+        return mapped(*args)
+
+    return jax.jit(wrapped)

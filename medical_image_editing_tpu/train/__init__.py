@@ -1,0 +1,8 @@
+"""Train states and jitted step functions (the trainer layer).
+
+The reference's PyTorch-Lightning trainers (`src/trainers/`) become pure
+step functions over an explicit `TrainState` pytree, compiled once with
+`jax.jit` (single chip) or `shard_map` over a data mesh (multi-chip)."""
+
+from .state import TrainState, make_optimizer, create_train_state
+from .first_stage import make_first_stage_step, init_codebook_step

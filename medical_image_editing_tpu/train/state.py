@@ -1,0 +1,79 @@
+"""Train state pytree and optimizer construction.
+
+Behavioral spec: the reference's Lightning module state — encoder/decoder/
+discriminator parameters, three Adam optimizers (`src/trainers/base.py:164-183`),
+VQ buffers (`vq_module.py:154-157`) and the global step/epoch — flattened into
+one functional pytree, checkpointable with Orbax as a whole (SURVEY.md §5
+checkpoint/resume).
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    epoch: jax.Array
+    rng: jax.Array
+
+    enc_vars: Any          # {'params': ..., optional 'batch_stats': ...}
+    dec_vars: Any
+    dis_vars: Any          # {} until the GAN stage
+
+    vq: Any                # ops.vq.VQState
+
+    enc_opt: Any
+    dec_opt: Any
+    dis_opt: Any
+
+
+def make_optimizer(lr: float, b1: float = 0.9, b2: float = 0.999, weight_decay: float = 0.0):
+    """torch.optim.Adam parity: weight decay added to the gradient *before*
+    the moment updates (spec: `base.py:164-183`)."""
+    txs = []
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8))
+    txs.append(optax.scale(-lr))
+    return optax.chain(*txs)
+
+
+def make_optimizer_from_config(optim_cfg):
+    from ..utils.config import getattr_else_none as g
+
+    return make_optimizer(
+        lr=float(optim_cfg.lr),
+        b1=float(g(optim_cfg, "b1", 0.9)),
+        b2=float(g(optim_cfg, "b2", 0.999)),
+        weight_decay=float(g(optim_cfg, "weight_decay", 0.0) or 0.0),
+    )
+
+
+def create_train_state(
+    rng,
+    enc_vars,
+    dec_vars,
+    vq_state,
+    enc_tx,
+    dec_tx,
+    dis_vars=None,
+    dis_tx: Optional[Any] = None,
+) -> TrainState:
+    dis_vars = dis_vars if dis_vars is not None else {}
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+        rng=rng,
+        enc_vars=enc_vars,
+        dec_vars=dec_vars,
+        dis_vars=dis_vars,
+        vq=vq_state,
+        enc_opt=enc_tx.init(enc_vars["params"]),
+        dec_opt=dec_tx.init(dec_vars["params"]),
+        dis_opt=dis_tx.init(dis_vars["params"]) if (dis_tx and dis_vars) else (),
+    )

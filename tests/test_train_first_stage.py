@@ -1,0 +1,126 @@
+"""Integration tests: first-stage training step, single-device and
+data-parallel on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_editing_tpu.models import UNetDecoder
+from medical_image_editing_tpu.models.unet_encoder import EncoderWithVQ
+from medical_image_editing_tpu.parallel import DATA_AXIS, create_mesh, data_parallel
+from medical_image_editing_tpu.train import (
+    TrainState,
+    create_train_state,
+    make_first_stage_step,
+    make_optimizer,
+)
+from medical_image_editing_tpu.train.first_stage import (
+    FirstStageLossConfig,
+    init_codebook_step,
+)
+
+FILTERS = (4, 8, 16, 32, 64)
+DICT = 5
+AUG = {
+    "modules": ["RandomHorizontalFlip", "RandomAffine", "RandomGaussianNoise"],
+    "RandomHorizontalFlip": {"p": 0.5},
+    "RandomAffine": {"degrees": 5.0, "translate": [0.02, 0.02], "p": 0.8},
+    "RandomGaussianNoise": {"std": 0.03, "p": 0.5},
+}
+
+
+def _build(axis_name=None, use_dropblock=False):
+    enc = EncoderWithVQ(filters=FILTERS, dict_size=DICT, momentum=0.9, axis_name=axis_name)
+    dec = UNetDecoder(
+        out_channels=1,
+        filters=FILTERS,
+        dropped_skip_layers=(),
+        use_dropblock=use_dropblock,
+        block_size=3,
+        axis_name=axis_name,
+    )
+    x = jnp.zeros((1, 32, 32, 1))
+    enc_vars, vq = enc.init(jax.random.key(0), x)
+    q, *_ = enc(enc_vars, vq, x, train=False)
+    dec_vars = dec.init(
+        {"params": jax.random.key(1), "dropblock": jax.random.key(2)}, q, train=False
+    )
+    enc_tx = make_optimizer(1e-3)
+    dec_tx = make_optimizer(1e-3)
+    state = create_train_state(
+        jax.random.key(3), enc_vars, dec_vars, vq, enc_tx, dec_tx
+    )
+    step = make_first_stage_step(
+        enc, dec, enc_tx, dec_tx,
+        loss_cfg=FirstStageLossConfig(margin=0.5),
+        aug_cfg=AUG,
+        dict_size=DICT,
+        axis_name=axis_name,
+    )
+    return enc, dec, state, step
+
+
+def test_first_stage_step_runs_and_learns(rng):
+    enc, dec, state, step = _build()
+    image = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    jit_step = jax.jit(step)
+    new_state, metrics = jit_step(state, image, 0.0)
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(new_state.step) == 1
+    # params actually moved
+    p0 = jax.tree.leaves(state.enc_vars["params"])[0]
+    p1 = jax.tree.leaves(new_state.enc_vars["params"])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # VQ EMA advanced
+    assert not np.allclose(
+        np.asarray(state.vq.cluster_size), np.asarray(new_state.vq.cluster_size)
+    )
+    # a few more steps decrease total loss (very loose: just stays finite)
+    s = new_state
+    for _ in range(2):
+        s, m = jit_step(s, image, 0.0)
+    assert np.isfinite(float(m["total"]))
+
+
+def test_codebook_init_step(rng):
+    enc, dec, state, _ = _build()
+    image = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    init_fn = jax.jit(init_codebook_step(enc, num_iters=5))
+    new_state = init_fn(state, image)
+    assert not np.allclose(np.asarray(new_state.vq.embed), np.asarray(state.vq.embed))
+
+
+def test_first_stage_data_parallel_matches_replicated_semantics(rng):
+    """The shard_map'd step must produce identical (replicated) state on all
+    devices and run end to end on the 8-device mesh."""
+    devices = jax.devices("cpu")[:8]
+    mesh = create_mesh(devices)
+    enc, dec, state, step = _build(axis_name=DATA_AXIS)
+
+    dp_step = data_parallel(step, mesh, n_state_args=1)
+
+    from medical_image_editing_tpu.parallel import replicate, shard_batch
+
+    state = replicate(mesh, state)
+    image = shard_batch(
+        mesh, jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 1)).astype(np.float32))
+    )
+    drop = replicate(mesh, jnp.float32(0.0))
+
+    new_state, metrics = dp_step(state, image, drop)
+    assert np.isfinite(float(metrics["total"]))
+    assert int(new_state.step) == 1
+    # second step to ensure the compiled path is stable
+    new_state2, m2 = dp_step(new_state, image, drop)
+    assert int(new_state2.step) == 2
+    assert np.isfinite(float(m2["total"]))
+
+
+def test_first_stage_with_dropblock(rng):
+    enc, dec, state, step = _build(use_dropblock=True)
+    image = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    new_state, metrics = jax.jit(step)(state, image, 0.3)
+    assert np.isfinite(float(metrics["total"]))
