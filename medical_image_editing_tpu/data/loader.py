@@ -1,0 +1,270 @@
+"""Host batch loader with background prefetch and device double-buffering.
+
+Behavioral spec: reference `src/dataio/data_loader.py` (`get_data_loader`) —
+mode×dataset factory assembling per-dataset transforms (ToTensor → optional
+RandomAffine(±5°, translate 0.01, scale 0.9–1.1)/HFlip → NormalizeIntensity for
+BraTS/CRC), shuffling train/val but not test, wrapping a torch DataLoader with
+num_workers/drop_last.
+
+TPU-first: numpy batches are assembled on the host (optionally on a background
+thread — this box's equivalent of `num_workers`) and `prefetch_to_device`
+keeps `size` batches resident on the accelerator so HBM transfer overlaps the
+previous step. Host-side augmentations keep scipy-based parity; the heavier
+dual-view RandomTransform augmentation runs on device inside the jitted step.
+"""
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:  # scipy is available in this image; gate anyway
+    from scipy import ndimage as _ndimage
+except Exception:  # pragma: no cover
+    _ndimage = None
+
+from .datasets import (
+    CRCDataset,
+    MICCAIBraTSDataset,
+    NCCLungDataset,
+    SyntheticSliceDataset,
+)
+
+
+# ---------------------------------------------------------------------------
+# host-side per-sample transforms (spec: src/dataio/transforms.py)
+# ---------------------------------------------------------------------------
+
+
+def normalize_intensity_np(image, vmin=0.0, vmax=255.0):
+    """clamp → [-1,1]. Spec: `transforms.py:52-71`."""
+    image = np.clip(image, vmin, vmax)
+    image = (image - vmin) / (vmax - vmin)
+    return image * 2.0 - 1.0
+
+
+def random_affine_np(rng, image, p=0.5, degrees=(-5, 5), translate=(0.01, 0.01),
+                     scale=(0.9, 1.1)):
+    """Host-side RandomAffine parity (`data_loader.py:35-38` params)."""
+    if _ndimage is None or rng.random() >= p:
+        return image
+    h, w = image.shape[:2]
+    angle = np.deg2rad(rng.uniform(*degrees))
+    s = rng.uniform(*scale)
+    tx = rng.uniform(-translate[0], translate[0]) * w
+    ty = rng.uniform(-translate[1], translate[1]) * h
+    cos, sin = np.cos(angle) * s, np.sin(angle) * s
+    lin = np.array([[cos, -sin], [sin, cos]], np.float64)
+    center = np.array([(h - 1) / 2.0, (w - 1) / 2.0])
+    offset = center + np.array([ty, tx]) - lin @ center
+    return _affine_apply(image, lin, offset)
+
+
+def _affine_apply(image, lin, offset):
+    """Apply x_out = lin·x_in + offset via scipy's inverse-map convention."""
+    inv = np.linalg.inv(lin)
+    inv_offset = -inv @ offset
+    return _ndimage.affine_transform(
+        image, inv, offset=inv_offset, order=1, mode="constant", cval=0.0
+    )
+
+
+def random_hflip_np(rng, image, p=0.5):
+    if rng.random() < p:
+        return image[:, ::-1].copy()
+    return image
+
+
+# ---------------------------------------------------------------------------
+# loader
+# ---------------------------------------------------------------------------
+
+
+def _collate(samples):
+    images = np.stack([s["image"] for s in samples]).astype(np.float32)
+    if images.ndim == 3:
+        images = images[..., None]  # (B,H,W,1) NHWC
+    return {
+        "image": images,
+        "patient_id": [s["patient_id"] for s in samples],
+        "slice_num": np.asarray([s["slice_num"] for s in samples], np.int32),
+    }
+
+
+class DataLoader:
+    """Minimal epoch iterator: shuffle, batch, collate, optional background
+    producer thread (the `num_workers` seam)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        transform=None,
+        num_workers: int = 0,
+        seed: int = 0,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.transform = transform
+        self.num_workers = num_workers
+        self.prefetch_batches = prefetch_batches
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        rng = np.random.default_rng(self._seed + self._epoch)
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        self._epoch += 1
+        sample_rng = np.random.default_rng(rng.integers(2**31))
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            samples = []
+            for i in idx:
+                s = self.dataset[int(i)]
+                if self.transform is not None:
+                    s = dict(s)
+                    s["image"] = self.transform(sample_rng, s["image"])
+                samples.append(s)
+            yield _collate(samples)
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.num_workers <= 0:
+            yield from self._batches()
+            return
+        # one background producer thread (numpy IO releases the GIL)
+        q: "queue.Queue" = queue.Queue(maxsize=max(2, self.prefetch_batches))
+        _sentinel = object()
+
+        def produce():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(_sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is _sentinel:
+                break
+            yield b
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Double-buffered device prefetch of the 'image' field.
+
+    Keeps `size` batches in flight on the accelerator so the HBM copy of batch
+    i+1 overlaps step i (SURVEY.md §7 design stance).
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        device_batch = dict(batch)
+        device_batch["image"] = jax.device_put(batch["image"], sharding)
+        buf.append(device_batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out
+
+
+def get_data_loader(
+    mode: str,
+    dataset_name: str,
+    root_dir_path: str,
+    batch_size: int,
+    num_workers: int = 0,
+    modality: Optional[str] = None,
+    augmentations: Optional[list] = None,
+    drop_last: bool = False,
+    window_width: Optional[float] = None,
+    window_center: Optional[float] = None,
+    window_scale: Optional[float] = None,
+    seed: int = 0,
+) -> DataLoader:
+    """Factory with the reference's exact mode×dataset behavior
+    (`data_loader.py:15-149`): train applies optional host augs + intensity
+    normalization (BraTS/CRC) and shuffles; val normalizes + shuffles; test
+    normalizes, no shuffle."""
+    assert mode in {"train", "val", "test"}, mode
+    assert dataset_name in {
+        "MICCAIBraTSDataset",
+        "NCCLungDataset",
+        "CRCDataset",
+        "SyntheticSliceDataset",
+    }, dataset_name
+    augmentations = augmentations or []
+    if mode != "train":
+        assert not augmentations, "augmentations are train-only (data_loader.py:49,90,124)"
+
+    needs_intensity_norm = dataset_name in {"MICCAIBraTSDataset", "CRCDataset"}
+    shuffle = mode in {"train", "val"}
+
+    steps = []
+    if mode == "train":
+        if "RandomAffineTransform" in augmentations:
+            steps.append(lambda rng, im: random_affine_np(rng, im))
+        if "RandomHorizontalFlipTransform" in augmentations:
+            steps.append(lambda rng, im: random_hflip_np(rng, im))
+    if needs_intensity_norm:
+        steps.append(lambda rng, im: normalize_intensity_np(im))
+
+    def transform(rng, image):
+        for f in steps:
+            image = f(rng, image)
+        return image.astype(np.float32)
+
+    if dataset_name == "MICCAIBraTSDataset":
+        dataset = MICCAIBraTSDataset(root_dir_path, modality=modality)
+    elif dataset_name == "NCCLungDataset":
+        dataset = NCCLungDataset(
+            root_dir_path,
+            window_width=window_width,
+            window_center=window_center,
+            window_scale=window_scale,
+            seed=seed,
+        )
+    elif dataset_name == "CRCDataset":
+        dataset = CRCDataset(root_dir_path, seed=seed)
+    else:
+        dataset = SyntheticSliceDataset(seed=seed)
+
+    return DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=shuffle,
+        drop_last=drop_last,
+        transform=transform if steps else None,
+        num_workers=num_workers,
+        seed=seed,
+    )
