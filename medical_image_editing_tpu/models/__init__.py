@@ -12,3 +12,7 @@ from .blocks import (
 )
 from .unet_encoder import UNetEncoder, EncoderWithVQ
 from .unet_decoder import UNetDecoder
+from .actnorm import ActNorm
+from .discriminator import NLayerDiscriminator
+from .biggan_layers import Attention, DBlock, GBlock2, SNConv, SNDense
+from .unet_discriminator import UNetDiscriminator
