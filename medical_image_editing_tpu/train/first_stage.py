@@ -92,12 +92,16 @@ def make_first_stage_step(
     axis_name: Optional[str] = None,
     perceptual_fn=None,
     compute_dtype=jnp.float32,
+    recon_loss_fn=None,
 ):
     """Build the jitted first-stage step.
 
     encoder: models.unet_encoder.EncoderWithVQ
     decoder: models.unet_decoder.UNetDecoder (flax module)
     perceptual_fn: optional callable (recon, target) → scalar (VGG/LPIPS port).
+    recon_loss_fn: optional (recon, clear) → (l_recon, l_freq, l_percep)
+        override — used by the multi-window trainer to compute losses across
+        raw/lung/mediastinal windowings (`multi_window_trainer.py:93-119`).
     Returns step_fn(state, image[B,H,W,C] in [-1,1], drop_prob) → (state', metrics).
     """
 
@@ -169,26 +173,31 @@ def make_first_stage_step(
             recon_1 = recon_1.astype(jnp.float32)
             recon_2 = recon_2.astype(jnp.float32)
 
-            if loss_cfg.use_recon_loss:
-                l_recon = jnp.mean((recon_1 - clear_1) ** 2) + jnp.mean(
-                    (recon_2 - clear_2) ** 2
-                )
+            if recon_loss_fn is not None:
+                lr1, lf1, lp1 = recon_loss_fn(recon_1, clear_1)
+                lr2, lf2, lp2 = recon_loss_fn(recon_2, clear_2)
+                l_recon, l_freq, l_percep = lr1 + lr2, lf1 + lf2, lp1 + lp2
             else:
-                l_recon = jnp.float32(0.0)
+                if loss_cfg.use_recon_loss:
+                    l_recon = jnp.mean((recon_1 - clear_1) ** 2) + jnp.mean(
+                        (recon_2 - clear_2) ** 2
+                    )
+                else:
+                    l_recon = jnp.float32(0.0)
 
-            if loss_cfg.use_frequency_loss:
-                l_freq = focal_frequency_loss(recon_1, clear_1) + focal_frequency_loss(
-                    recon_2, clear_2
-                )
-            else:
-                l_freq = jnp.float32(0.0)
+                if loss_cfg.use_frequency_loss:
+                    l_freq = focal_frequency_loss(
+                        recon_1, clear_1
+                    ) + focal_frequency_loss(recon_2, clear_2)
+                else:
+                    l_freq = jnp.float32(0.0)
 
-            if loss_cfg.use_perceptual_loss and perceptual_fn is not None:
-                l_percep = perceptual_fn(recon_1, clear_1) + perceptual_fn(
-                    recon_2, clear_2
-                )
-            else:
-                l_percep = jnp.float32(0.0)
+                if loss_cfg.use_perceptual_loss and perceptual_fn is not None:
+                    l_percep = perceptual_fn(recon_1, clear_1) + perceptual_fn(
+                        recon_2, clear_2
+                    )
+                else:
+                    l_percep = jnp.float32(0.0)
 
             total = (
                 loss_cfg.w_commit * l_commit
