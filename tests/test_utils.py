@@ -1,0 +1,139 @@
+"""Tests for config, logger, checkpoint retention + staged restore, imaging."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_image_editing_tpu.utils import (
+    CheckpointManager,
+    Logger,
+    load_json,
+    restore_fields,
+    to_config,
+)
+from medical_image_editing_tpu.utils.config import getattr_else_none
+from medical_image_editing_tpu.utils.seed import init_seed
+
+
+def test_config_false_to_none_quirk(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"loss": {"use_recon_loss": False, "w": 1.5},
+                             "run": {"seed_list": [1, 2]}}))
+    cfg = load_json(str(p))
+    assert cfg.loss.use_recon_loss is None  # spec: utils/__init__.py:102
+    assert cfg.loss.w == 1.5
+    cfg2 = load_json(str(p), false_to_none=False)
+    assert cfg2.loss.use_recon_loss is False
+    with pytest.raises(AttributeError):
+        _ = cfg.loss.nonexistent
+    assert getattr_else_none(cfg.loss, "nonexistent") is None
+    assert cfg.to_dict()["run"]["seed_list"] == [1, 2]
+
+
+def test_logger_versioning_and_csv(tmp_path):
+    logger = Logger(str(tmp_path), config=to_config({"a": {"b": 1}}),
+                    monitoring_metrics=["epoch", "total", "recon"],
+                    name="study")
+    assert logger.version == 0
+    logger.log_metrics({"total": jnp.float32(1.5), "epoch": 0})
+    logger.log_metrics({"total": 2.0, "recon": 0.5, "epoch": 1})
+    csv = open(os.path.join(logger.log_dir, "log.csv")).read().splitlines()
+    assert csv[0] == "epoch,total,recon"
+    assert csv[1].startswith("0.0,1.5,")  # missing recon → empty cell
+    assert csv[1].endswith(",")
+    logger.log_hyperparams([42])
+    cfg = json.load(open(os.path.join(logger.log_dir, "config.json")))
+    assert cfg["seed_list"] == [42]
+    # second logger bumps version
+    logger2 = Logger(str(tmp_path), name="study")
+    assert logger2.version == 1
+
+
+def test_logger_val_test_csv(tmp_path):
+    logger = Logger(str(tmp_path), monitoring_metrics=[], name="s")
+    logger.log_test_metrics({"PSNR": 30.0, "SSIM": 0.9})
+    logger.log_test_metrics({"PSNR": 31.0, "SSIM": 0.91})
+    lines = open(os.path.join(logger.log_dir, "test_logs.csv")).read().splitlines()
+    assert lines[0] == "PSNR,SSIM" and len(lines) == 3
+
+
+def _tiny_state(seed=0):
+    from medical_image_editing_tpu.ops.vq import vq_init
+    from medical_image_editing_tpu.train.state import create_train_state, make_optimizer
+
+    k = jax.random.key(seed)
+    enc_vars = {"params": {"w": jnp.full((3,), float(seed))}}
+    dec_vars = {"params": {"w": jnp.full((2,), float(seed) + 10)}}
+    dis_vars = {"params": {"w": jnp.full((2,), float(seed) + 20)}}
+    tx = make_optimizer(1e-3)
+    return create_train_state(k, enc_vars, dec_vars, vq_init(k, 4, 3), tx, tx,
+                              dis_vars=dis_vars, dis_tx=tx)
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    state = _tiny_state(1)
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), limit_num=3, save_interval=2)
+    mgr.save(state, epoch=0)
+    assert mgr.latest_epoch() == 0
+    restored = mgr.restore(_tiny_state(0))
+    np.testing.assert_array_equal(
+        np.asarray(restored.enc_vars["params"]["w"]),
+        np.asarray(state.enc_vars["params"]["w"]),
+    )
+    np.testing.assert_array_equal(np.asarray(restored.vq.embed), np.asarray(state.vq.embed))
+
+
+def test_checkpoint_retention_policy(tmp_path):
+    state = _tiny_state(0)
+    mgr = CheckpointManager(str(tmp_path / "c"), limit_num=2, save_interval=3)
+    for e in range(6):
+        mgr.save(state, epoch=e)
+    kept = mgr._epochs()
+    # newest 2 always kept: 4,5; older kept iff (e+1)%3==0: epoch 2
+    assert kept == [2, 4, 5], kept
+
+
+def test_restore_fields_staged_loading(tmp_path):
+    first_stage = _tiny_state(7)
+    mgr = CheckpointManager(str(tmp_path / "first"), limit_num=5, save_interval=5)
+    mgr.save(first_stage, epoch=3)
+
+    second = _tiny_state(0)
+    loaded = restore_fields(str(tmp_path / "first"), second, ("enc_vars", "dec_vars", "vq"))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.enc_vars["params"]["w"]), np.full((3,), 7.0))
+    # discriminator untouched
+    np.testing.assert_array_equal(
+        np.asarray(loaded.dis_vars["params"]["w"]), np.full((2,), 20.0))
+
+
+def test_init_seed_from_list():
+    key, logged = init_seed([123])
+    assert logged == [123]
+    key2, _ = init_seed([123])
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key)), np.asarray(jax.random.key_data(key2)))
+
+
+def test_imaging_helpers(tmp_path, rng):
+    from medical_image_editing_tpu.utils import (
+        save_fused_image, save_image, save_image_grid, to_image,
+    )
+
+    batch = rng.uniform(0, 1, (4, 8, 8, 1)).astype(np.float32)
+    assert to_image(jnp.asarray(batch)).shape == (8, 8)
+    assert to_image(jnp.asarray(batch[..., 0]), is_ids=True).shape == (8, 8)
+    p1 = str(tmp_path / "a.png")
+    save_image(batch[0, ..., 0], "gray", -1, 1, p1)
+    assert os.path.getsize(p1) > 0
+    p2 = str(tmp_path / "b.png")
+    save_fused_image(batch[0, ..., 0], "gray", -1, 1,
+                     (batch[1, ..., 0] * 5).astype(int), "Spectral", 0, 5, 0.3, p2)
+    assert os.path.getsize(p2) > 0
+    p3 = str(tmp_path / "grid.png")
+    save_image_grid(batch, p3, nrow=2)
+    assert os.path.getsize(p3) > 0
