@@ -6,3 +6,11 @@ step functions over an explicit `TrainState` pytree, compiled once with
 
 from .state import TrainState, make_optimizer, create_train_state
 from .first_stage import make_first_stage_step, init_codebook_step
+from .second_stage import SecondStageLossConfig, make_second_stage_step
+from .multi_window import (
+    make_joint_step,
+    make_multi_window_first_stage_step,
+    make_multi_window_second_stage_step,
+)
+from .vqgan_stage import make_vqgan_step
+from .trainer import Trainer

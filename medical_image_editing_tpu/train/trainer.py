@@ -1,0 +1,441 @@
+"""Trainer orchestration: config → models/steps/loaders → fit/test loops.
+
+Behavioral spec: reference `src/trainers/base.py` (TrainerBase) +
+`src/run_vqwnet.py` (`train_model`):
+  * model construction from `config.model.vqmodel` / `config.model.dis` /
+    `config.model.vqgan` (`base.py:188-259`), losses from `config.loss`
+    (`:261-278`), three Adam optimizers from `enc/dec/dis_optim` (`:164-183`);
+  * trainer flavor: SingleWindow / MultiWindow (`-w`) / VQGAN (`-v`)
+    (`run_vqwnet.py:82-88`), training_mode ∈ {first_step, second_step,
+    joint_step, inference} (`single_window_trainer.py:43-59`);
+  * per-epoch: dropblock schedule step (`base.py:185-187`), checkpoint save
+    with retention (`run_vqwnet.py:72-80`), rank-0 validation grids;
+  * per-step: CSV metric logging, snapshot grid every SNAPSHOT_INTERVAL=100
+    steps (`base.py:31`, `single_window_trainer.py:161`);
+  * staged checkpoint loading (`base.py:85-114`) and full resume
+    (`run_vqwnet.py:90-100,126`).
+
+TPU-first: the train step (including augmentation) is one compiled function;
+under a multi-device mesh the same per-device step is shard_map'd with the
+batch sharded and state replicated. The host loop only feeds prefetched
+batches and logs.
+"""
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import get_data_loader, prefetch_to_device
+from ..models import NLayerDiscriminator, UNetDecoder, UNetDiscriminator
+from ..models.unet_encoder import EncoderWithVQ
+from ..models.vqgan import VQGAN
+from ..ops.dropblock import dropblock_schedule
+from ..ops.windowing import denormalize, normalize, t_normalize
+from ..parallel import DATA_AXIS, create_mesh, data_parallel, replicate, shard_batch
+from ..utils.checkpoint import CheckpointManager, restore_fields
+from ..utils.config import getattr_else_none as g
+from ..utils.logging import Logger, is_main_process
+from . import evaluate
+from .first_stage import (
+    FirstStageLossConfig,
+    loss_config_from_json,
+    make_first_stage_step,
+)
+from .multi_window import (
+    make_joint_step,
+    make_multi_window_first_stage_step,
+    make_multi_window_second_stage_step,
+)
+from .second_stage import (
+    make_second_stage_step,
+    second_stage_config_from_json,
+)
+from .state import create_train_state, make_optimizer_from_config
+from .vqgan_stage import make_vqgan_step
+
+SNAPSHOT_INTERVAL = 100  # `src/trainers/base.py:31`
+
+
+class Trainer:
+    """One object = models + step fns + loaders for a config."""
+
+    def __init__(
+        self,
+        config,
+        logger: Optional[Logger] = None,
+        uploader=None,
+        use_multi_window: bool = False,
+        use_vqgan: bool = False,
+        devices=None,
+        rng_key=None,
+    ):
+        self.config = config
+        self.logger = logger
+        self.uploader = uploader
+        self.use_multi_window = use_multi_window
+        self.use_vqgan = use_vqgan
+        self.rng_key = rng_key if rng_key is not None else jax.random.key(0)
+
+        devices = list(devices if devices is not None else jax.devices())
+        # the per-device batch must be whole: use the largest device count
+        # that divides the global batch size (DDP requires the same)
+        batch = int(g(config.dataset, "batch_size", 1) or 1)
+        while len(devices) > 1 and batch % len(devices) != 0:
+            devices = devices[:-1]
+        self.n_devices = len(devices)
+        self.mesh = create_mesh(devices) if self.n_devices > 1 else None
+        self.axis_name = DATA_AXIS if self.mesh is not None else None
+
+        self._configure_models()
+        self._configure_losses()
+        self._configure_steps()
+
+    # ------------------------------------------------------------------
+    # construction (spec: base.py configure_models/losses/optimizers)
+    # ------------------------------------------------------------------
+    def _configure_models(self):
+        cfg = self.config
+        gen = cfg.model.vqmodel
+        dis_cfg = cfg.model.dis
+
+        self.dict_size = int(gen.dict_size)
+        self.encoder = EncoderWithVQ(
+            in_channels=int(gen.in_channels),
+            filters=tuple(gen.enc_filters),
+            dict_size=self.dict_size,
+            momentum=float(gen.momentum),
+            use_styled_up_block=bool(g(gen, "enc_use_styled_up_block", False)),
+            axis_name=self.axis_name,
+        )
+
+        if g(gen, "model_name", None) == "VQGAN":
+            v = cfg.model.vqgan
+            self.vqgan = VQGAN(
+                in_channels=int(v.in_channels),
+                mid_channels=int(v.mid_channels),
+                out_channels=int(v.out_channels),
+                emb_dim=int(v.emb_dim),
+                dict_size=int(v.dict_size),
+                enc_ch_multiplier=tuple(v.enc_ch_multiplier),
+                dec_ch_multiplier=tuple(v.dec_ch_multiplier),
+                num_res_blocks=int(v.num_res_blocks),
+                enc_attn_resolutions=tuple(v.enc_attn_resolutions or ()),
+                dec_attn_resolutions=tuple(v.dec_attn_resolutions or ()),
+                resolution=int(v.resolution),
+                p_dropout=float(g(v, "p_dropout", 0.0) or 0.0),
+                resamp_with_conv=bool(g(v, "resamp_with_conv", True)),
+                axis_name=self.axis_name,
+            )
+            self.decoder = None
+        else:
+            self.vqgan = None
+            self.decoder = UNetDecoder(
+                out_channels=int(gen.in_channels),
+                filters=tuple(gen.dec_filters),
+                use_dropblock=bool(g(gen, "use_dropblock", False)),
+                block_size=int(g(gen, "block_size", 30) or 30),
+                dropped_skip_layers=tuple(gen.dropped_skip_layers or ()),
+                use_pixel_shuffle=bool(g(gen, "use_pixel_shuffle", True)),
+                axis_name=self.axis_name,
+            )
+
+        self.dis_type = str(dis_cfg.model_name)
+        if self.dis_type == "UNetDiscriminator":
+            self.dis = UNetDiscriminator(
+                D_ch=int(dis_cfg.D_ch),
+                D_wide=bool(g(dis_cfg, "D_wide", True)),
+                D_attn=str(g(dis_cfg, "D_attn", "0")),
+                resolution=int(dis_cfg.resolution),
+            )
+        else:
+            self.dis = NLayerDiscriminator(
+                out_channels=1,
+                n_filters=int(dis_cfg.n_filters),
+                n_layers=int(dis_cfg.n_layers),
+                normalization=str(dis_cfg.normalization),
+                apply_spectral_norm=bool(g(dis_cfg, "apply_spectral_norm", False)),
+                axis_name=self.axis_name,
+            )
+
+        self.enc_tx = make_optimizer_from_config(cfg.enc_optim)
+        self.dec_tx = make_optimizer_from_config(cfg.dec_optim)
+        self.dis_tx = make_optimizer_from_config(cfg.dis_optim)
+
+        # dropblock schedule params (`base.py:185-187` + decoder ctor)
+        gen_ = gen
+        self._db = (
+            float(g(gen_, "start_value", 0.0) or 0.0),
+            float(g(gen_, "stop_value", 0.0) or 0.0),
+            int(g(gen_, "nr_steps", 1) or 1),
+        )
+
+    def _configure_losses(self):
+        cfg = self.config
+        self.first_cfg = loss_config_from_json(cfg.loss)
+        self.second_cfg = second_stage_config_from_json(cfg.loss)
+        self.perceptual_fn = None
+        if self.first_cfg.use_perceptual_loss or self.second_cfg.use_perceptual_loss:
+            from ..ops.perceptual import make_perceptual_loss
+
+            self.perceptual_fn = make_perceptual_loss(
+                str(g(cfg.loss, "perceptual_loss_type", "vgg"))
+            )
+        self.aug_cfg = cfg.augmentation
+        ds = cfg.dataset
+        self.dataset_window = (
+            g(ds, "window_width", 1.0) or 1.0,
+            g(ds, "window_center", 0.0) or 0.0,
+            g(ds, "window_scale", 2.0) or 2.0,
+        )
+
+    def _configure_steps(self):
+        mode = str(self.config.run.training_mode)
+        self.training_mode = mode
+        kw = dict(axis_name=self.axis_name, perceptual_fn=self.perceptual_fn)
+
+        if self.use_vqgan:
+            step = make_vqgan_step(
+                self.vqgan, self.dis, self.dec_tx, self.dis_tx,
+                loss_cfg=self.second_cfg,
+                w_commit=self.first_cfg.w_commit, **kw,
+            )
+        elif self.use_multi_window:
+            mw = dict(
+                dataset_window=self.dataset_window,
+                recon_weights=tuple(g(self.config.loss, "recon_weights", (1, 1, 1))),
+                freq_weights=tuple(g(self.config.loss, "freq_weights", (1, 1, 1))),
+                percep_weights=tuple(g(self.config.loss, "percep_weights", (1, 1, 1))),
+            )
+            if mode == "first_step":
+                step = make_multi_window_first_stage_step(
+                    self.encoder, self.decoder, self.enc_tx, self.dec_tx,
+                    loss_cfg=self.first_cfg, aug_cfg=self.aug_cfg,
+                    dict_size=self.dict_size, **mw, **kw,
+                )
+            elif mode == "second_step":
+                step = make_multi_window_second_stage_step(
+                    self.encoder, self.decoder, self.dis, self.dec_tx, self.dis_tx,
+                    loss_cfg=self.second_cfg, **mw, **kw,
+                )
+            elif mode == "joint_step":
+                step = make_joint_step(
+                    self.encoder, self.decoder, self.dis,
+                    self.enc_tx, self.dec_tx, self.dis_tx,
+                    first_cfg=self.first_cfg, second_cfg=self.second_cfg,
+                    aug_cfg=self.aug_cfg, dict_size=self.dict_size, **mw, **kw,
+                )
+            else:
+                step = None
+        else:
+            if mode == "first_step":
+                step = make_first_stage_step(
+                    self.encoder, self.decoder, self.enc_tx, self.dec_tx,
+                    loss_cfg=self.first_cfg, aug_cfg=self.aug_cfg,
+                    dict_size=self.dict_size, **kw,
+                )
+            elif mode == "second_step":
+                step = make_second_stage_step(
+                    self.encoder, self.decoder, self.dis, self.dec_tx, self.dis_tx,
+                    loss_cfg=self.second_cfg, dis_type=self.dis_type, **kw,
+                )
+            else:
+                step = None
+
+        if step is None:
+            self.train_step = None
+        elif self.mesh is not None:
+            self.train_step = data_parallel(step, self.mesh, n_state_args=1)
+        else:
+            self.train_step = jax.jit(step)
+
+    # ------------------------------------------------------------------
+    # state init + staged loading
+    # ------------------------------------------------------------------
+    def init_state(self, image_size: int, batch_size: int = 1):
+        in_ch = int(self.config.model.vqmodel.in_channels)
+        x0 = jnp.zeros((batch_size, image_size, image_size, in_ch), jnp.float32)
+        k0, k1, k2, k3, k4 = jax.random.split(self.rng_key, 5)
+
+        if self.use_vqgan:
+            from ..ops.vq import vq_init
+
+            v = self.config.model.vqgan
+            vq = vq_init(k0, int(v.dict_size), int(v.emb_dim))
+            dec_vars = self.vqgan.init(k1, x0, vq, train=False)
+            enc_vars = {"params": {}}
+        else:
+            enc_vars, vq = self.encoder.init(k0, x0)
+            q, *_ = self.encoder(enc_vars, vq, x0, train=False)
+            dec_vars = self.decoder.init(
+                {"params": k1, "dropblock": k2}, q, train=False
+            )
+        dis_vars = self.dis.init(k3, x0, train=False)
+        state = create_train_state(
+            k4, enc_vars, dec_vars, vq, self.enc_tx, self.dec_tx,
+            dis_vars=dis_vars, dis_tx=self.dis_tx,
+        )
+
+        run = self.config.run
+        if g(run, "first_stage_ckpt_path", None):
+            state = restore_fields(
+                run.first_stage_ckpt_path, state, ("enc_vars", "dec_vars", "vq")
+            )
+            print(f"Restored first stage models from {run.first_stage_ckpt_path}")
+        if g(run, "discriminator_ckpt_path", None):
+            state = restore_fields(
+                run.discriminator_ckpt_path, state, ("dis_vars",)
+            )
+            print(f"Restored the discriminator from {run.discriminator_ckpt_path}")
+        return state
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+    def dataloader(self, mode: str):
+        ds = self.config.dataset
+        return get_data_loader(
+            mode=mode,
+            dataset_name=str(ds.dataset_name),
+            root_dir_path=str(ds.root_dir_path),
+            batch_size=int(ds.batch_size),
+            num_workers=int(g(ds, "num_workers", 0) or 0),
+            modality=g(ds, "modality", None),
+            augmentations=list(g(ds, "augmentations", []) or []) if mode == "train" else None,
+            drop_last=(mode == "train"),
+            window_width=g(ds, "window_width", None),
+            window_center=g(ds, "window_center", None),
+            window_scale=g(ds, "window_scale", None),
+        )
+
+    # window converters (spec base.py:290-314)
+    def to_lung(self, image):
+        dw, dc, s = self.dataset_window
+        hu = denormalize(image, dw, dc, s)
+        return t_normalize(hu, 1500, -550, 2.0)
+
+    def to_mediastinal(self, image):
+        dw, dc, s = self.dataset_window
+        hu = denormalize(image, dw, dc, s)
+        return t_normalize(hu, 400, 20, 2.0)
+
+    def denormalize_ct_values(self, image):
+        dw, dc, s = self.dataset_window
+        return denormalize(image, dw, dc, s)
+
+    # ------------------------------------------------------------------
+    # fit
+    # ------------------------------------------------------------------
+    def fit(self, state=None, max_epochs: Optional[int] = None, max_steps=None):
+        cfg = self.config
+        run = cfg.run
+        n_epochs = int(max_epochs if max_epochs is not None else run.n_epochs)
+
+        loader = self.dataloader("train")
+        assert len(loader) > 0, "empty train dataloader"
+
+        if state is None:
+            first = next(iter(loader))
+            state = self.init_state(first["image"].shape[1],
+                                    first["image"].shape[0])
+
+        ckpt_dir = None
+        saver = None
+        if self.logger is not None:
+            ckpt_dir = os.path.join(self.logger.log_dir, "ckpt")
+            saver = CheckpointManager(
+                ckpt_dir,
+                limit_num=int(g(cfg.save, "limit_num", 10) or 10),
+                save_interval=int(g(cfg.save, "save_interval", 10) or 10),
+            )
+
+        if g(run, "resume_checkpoint", None):
+            saver_resume = CheckpointManager(str(run.resume_checkpoint))
+            state = saver_resume.restore(state)
+            print(f"Resumed from {run.resume_checkpoint}")
+
+        # codebook k-means init before compiling the train loop (the
+        # reference does this inside the first forward, unet_encoder.py:66-91)
+        if (
+            not self.use_vqgan
+            and bool(g(cfg.model.vqmodel, "use_init_embed", False))
+            and int(state.step) == 0
+        ):
+            from .first_stage import init_codebook_step
+
+            init_fn = jax.jit(init_codebook_step(self.encoder))
+            first = next(iter(loader))
+            state = init_fn(state, jnp.asarray(first["image"]))
+            print("Initialized codebook with k-means on the first batch")
+
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+
+        db_start, db_stop, db_steps = self._db
+        global_step = int(jax.device_get(state.step))
+        done = False
+        for epoch in range(int(jax.device_get(state.epoch)), n_epochs):
+            drop_prob = jnp.float32(
+                dropblock_schedule(epoch, db_start, db_stop, db_steps)
+            )
+            for batch in prefetch_to_device(loader, size=2, sharding=sharding):
+                state, metrics = self.train_step(state, batch["image"], drop_prob)
+                global_step += 1
+                if self.logger is not None:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    m["epoch"] = epoch
+                    m["iteration"] = global_step
+                    self.logger.log_metrics(m, step=global_step)
+                if max_steps is not None and global_step >= max_steps:
+                    done = True
+                    break
+            state = state.replace(epoch=state.epoch + 1)
+            if saver is not None:
+                saver.save(jax.device_get(state), epoch)
+            if done:
+                break
+        return state
+
+    # ------------------------------------------------------------------
+    # test / inference
+    # ------------------------------------------------------------------
+    def test(self, state, save_dir_path: Optional[str] = None):
+        mode = str(self.config.run.training_mode)
+        loader = self.dataloader("test")
+        if mode == "inference":
+            forward = evaluate.make_eval_forward(self.encoder, self.decoder)
+            written = []
+            for batch in loader:
+                written += evaluate.inference_export(
+                    forward, state, batch,
+                    dataset_name=str(self.config.dataset.dataset_name),
+                    dict_size=self.dict_size,
+                    save_root=str(self.config.save.save_dir),
+                    study_name=str(self.config.save.study_name),
+                    to_lung_fn=self.to_lung,
+                )
+            return written
+
+        fm = evaluate.make_test_metrics_fn(self.encoder, self.decoder, self.dict_size)
+        outputs = []
+        for i, batch in enumerate(loader):
+            out = evaluate.test_step(
+                fm, state, batch, i,
+                dataset_name=str(self.config.dataset.dataset_name),
+                dict_size=self.dict_size,
+                save_dir_path=save_dir_path,
+            )
+            if out is not None:
+                outputs.append(out)
+        if save_dir_path is None and self.logger is not None:
+            save_dir_path = self.logger.log_dir
+        result = evaluate.test_epoch_end(outputs, save_dir_path or ".")
+        return outputs, result
