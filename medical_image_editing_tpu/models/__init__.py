@@ -16,3 +16,6 @@ from .actnorm import ActNorm
 from .discriminator import NLayerDiscriminator
 from .biggan_layers import Attention, DBlock, GBlock2, SNConv, SNDense
 from .unet_discriminator import UNetDiscriminator
+from .vqgan import VQGAN
+from .legacy import UNet, VQVNet, VQWNet, StyledVQWNet
+from .mingpt import GPT, GPTConfig, CausalSelfAttention, Block
