@@ -71,6 +71,7 @@ def encode_quantize(
     eps: float = 1e-5,
     train: bool = True,
     axis_name: Optional[str] = None,
+    backend: str = "xla",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, VQState, dict]:
     """Full encoder forward: features → VQ → (quantized, commit, ids+1, vq', vars').
 
@@ -84,7 +85,8 @@ def encode_quantize(
         feats = encoder.apply(variables, x, train=train)
         updated = {}
     quantized, commit, ids, new_vq = vq_apply(
-        vq_state, feats, momentum=momentum, eps=eps, train=train, axis_name=axis_name
+        vq_state, feats, momentum=momentum, eps=eps, train=train,
+        axis_name=axis_name, backend=backend,
     )
     return quantized, commit, ids + 1, new_vq, updated
 
@@ -148,6 +150,7 @@ class EncoderWithVQ:
         eps: float = 1e-5,
         use_styled_up_block: bool = False,
         axis_name: Optional[str] = None,
+        knn_backend: str = "xla",
     ):
         del in_channels  # flax infers input channels
         self.module = UNetEncoder(
@@ -160,6 +163,7 @@ class EncoderWithVQ:
         self.momentum = momentum
         self.eps = eps
         self.axis_name = axis_name
+        self.knn_backend = knn_backend
 
     def init(self, key, sample_x):
         k1, k2 = jax.random.split(key)
@@ -179,4 +183,5 @@ class EncoderWithVQ:
             eps=self.eps,
             train=train,
             axis_name=self.axis_name,
+            backend=self.knn_backend,
         )

@@ -102,6 +102,7 @@ def vq_apply(
     eps: float = 1e-5,
     train: bool = True,
     axis_name: Optional[str] = None,
+    backend: str = "xla",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, VQState]:
     """Quantize x (B,H,W,C) against the codebook.
 
@@ -114,6 +115,17 @@ def vq_apply(
     statistics are averaged over that mesh axis via `psum` — the TPU-native
     equivalent of the reference's `all_reduce(...)/world_size`.
     """
+    # backend seam mirroring the reference's knn_backend ∈ {'torch','faiss'}
+    # (`vq_module.py:117-121`): 'xla'/'torch' → this reference path,
+    # 'pallas'/'faiss' → the fused TPU kernel in vq_pallas.py.
+    if backend in ("pallas", "faiss"):
+        from .vq_pallas import vq_apply_fused
+
+        return vq_apply_fused(
+            state, x, momentum=momentum, eps=eps, train=train, axis_name=axis_name
+        )
+    assert backend in ("xla", "torch"), backend
+
     k, c = state.embed.shape
     b, h, w, cc = x.shape
     assert cc == c, (cc, c)

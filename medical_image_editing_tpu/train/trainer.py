@@ -109,6 +109,7 @@ class Trainer:
             momentum=float(gen.momentum),
             use_styled_up_block=bool(g(gen, "enc_use_styled_up_block", False)),
             axis_name=self.axis_name,
+            knn_backend=str(g(gen, "knn_backend", "xla") or "xla"),
         )
 
         if g(gen, "model_name", None) == "VQGAN":

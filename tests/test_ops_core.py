@@ -452,3 +452,28 @@ def test_label_entropy_matches_scipy(rng):
 def test_label_entropy_single_code_is_zero():
     ids = jnp.ones((1, 8, 8), jnp.int32)
     assert float(label_entropy(ids, dict_size=5)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_vq_pallas_fused_matches_xla_reference(rng):
+    """Fused Pallas kernel (interpret mode on CPU) vs the XLA reference path —
+    the backend seam mirroring the reference's torch/faiss duality."""
+    from medical_image_editing_tpu.ops.vq_pallas import vq_apply_fused
+
+    state = vq_init(jax.random.key(0), 10, 16)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16)).astype(np.float32))
+    q1, c1, i1, s1 = vq_apply(state, x, momentum=0.9)
+    q2, c2, i2, s2 = vq_apply_fused(state, x, momentum=0.9, tile_n=256)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+    np.testing.assert_allclose(float(c1), float(c2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.cluster_size), np.asarray(s2.cluster_size), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.embed), np.asarray(s2.embed), rtol=1e-4)
+
+
+def test_vq_apply_backend_seam(rng):
+    state = vq_init(jax.random.key(0), 6, 8)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+    for backend in ("xla", "torch", "pallas", "faiss"):
+        q, c, i, s = vq_apply(state, x, backend=backend, train=False)
+        assert q.shape == x.shape
