@@ -380,6 +380,10 @@ class Trainer:
 
             sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
+        eval_forward = None
+        if not self.use_vqgan:
+            eval_forward = evaluate.make_eval_forward(self.encoder, self.decoder)
+
         db_start, db_stop, db_steps = self._db
         global_step = int(jax.device_get(state.step))
         done = False
@@ -388,22 +392,90 @@ class Trainer:
                 dropblock_schedule(epoch, db_start, db_stop, db_steps)
             )
             for batch in prefetch_to_device(loader, size=2, sharding=sharding):
-                state, metrics = self.train_step(state, batch["image"], drop_prob)
+                with jax.profiler.StepTraceAnnotation("train", step_num=global_step):
+                    state, metrics = self.train_step(state, batch["image"], drop_prob)
                 global_step += 1
                 if self.logger is not None:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     m["epoch"] = epoch
                     m["iteration"] = global_step
                     self.logger.log_metrics(m, step=global_step)
+                    # snapshot grid every SNAPSHOT_INTERVAL steps
+                    # (spec: single_window_trainer.py:161-260)
+                    if (
+                        eval_forward is not None
+                        and global_step % SNAPSHOT_INTERVAL == 0
+                    ):
+                        self._snapshot(eval_forward, state, batch, epoch, global_step)
                 if max_steps is not None and global_step >= max_steps:
                     done = True
                     break
             state = state.replace(epoch=state.epoch + 1)
             if saver is not None:
                 saver.save(jax.device_get(state), epoch)
+            if eval_forward is not None and self.logger is not None and not done:
+                self._validate(eval_forward, state, epoch)
             if done:
                 break
         return state
+
+    def _snapshot(self, eval_forward, state, batch, epoch, global_step):
+        """Rank-0 train snapshot: image / recon / ids grid + optional upload."""
+        if not is_main_process():
+            return
+        from ..utils.imaging import CMAP, save_snapshot_grid
+
+        try:
+            recon, ids = eval_forward(state, batch["image"])
+            img = np.asarray(batch["image"])[0, ..., 0]
+            rec = np.asarray(recon)[0, ..., 0]
+            idm = np.asarray(ids)[0]
+            path = os.path.join(
+                self.logger.log_dir, f"train_{str(global_step).zfill(6)}.png"
+            )
+            os.makedirs(self.logger.log_dir, exist_ok=True)
+            save_snapshot_grid(
+                path,
+                [
+                    (img, "image", "gray", -1, 1, 1),
+                    (rec, "recon", "gray", -1, 1, 2),
+                    (idm, "ids", CMAP, 0, self.dict_size, 3),
+                ],
+                n_row=1,
+                n_col=3,
+            )
+            print("IDs: ", np.bincount(idm.ravel(), minlength=self.dict_size + 1))
+            if self.uploader is not None:
+                self.uploader.send_image(path, message=f"Global Step: {global_step}")
+        except Exception as e:  # snapshots must never kill training
+            print(f"snapshot failed: {e}")
+
+    def _validate(self, eval_forward, state, epoch, limit_val_batches: int = 2):
+        """Per-epoch rank-0 validation grids (limit_val_batches=2,
+        `run_vqwnet.py:127`)."""
+        try:
+            val_loader = self.dataloader("val")
+        except Exception:
+            return
+        for i, batch in enumerate(val_loader):
+            if i >= limit_val_batches:
+                break
+            try:
+                evaluate.validation_snapshot(
+                    eval_forward,
+                    state,
+                    batch,
+                    dataset_name=str(self.config.dataset.dataset_name),
+                    dict_size=self.dict_size,
+                    n_save_images=int(g(self.config.save, "n_save_images", 4) or 4),
+                    save_path=os.path.join(
+                        self.logger.log_dir, f"val_{epoch:04d}_{i}.png"
+                    ),
+                    to_lung_fn=self.to_lung,
+                    to_mediastinal_fn=self.to_mediastinal,
+                )
+            except Exception as e:
+                print(f"validation snapshot failed: {e}")
 
     # ------------------------------------------------------------------
     # test / inference
