@@ -19,22 +19,28 @@ TPU-first notes:
   no init parity is attempted.
 """
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# compute dtype plumbing: params stay float32; activations/conv compute run in
+# `dtype` (bfloat16 on TPU doubles MXU rate and halves HBM traffic). Norm
+# statistics are always reduced in float32 for stability.
+Dtype = Any
 
 
 def instance_norm(x, eps: float = 1e-5):
     """Per-sample, per-channel normalization over H,W; no affine params.
 
     Spec: torch `nn.InstanceNorm2d(out_channels)` defaults as used throughout
-    `src/networks/blocks.py`.
+    `src/networks/blocks.py`. Statistics in float32 regardless of input dtype.
     """
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def nearest_upsample(x, factor: int = 2):
@@ -65,12 +71,13 @@ class DoubleConv(nn.Module):
 
     features: int
     use_output_act: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         x = nn.relu(instance_norm(x))
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         if self.use_output_act:
             x = nn.relu(instance_norm(x))
         return x
@@ -83,13 +90,14 @@ class ResBlock(nn.Module):
     """
 
     features: int
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
         identity = instance_norm(
-            nn.Conv(self.features, (1, 1), use_bias=False)(x)
+            nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         )
-        out = DoubleConv(self.features)(x)
+        out = DoubleConv(self.features, dtype=self.dtype)(x)
         out = nn.relu(out + identity)
         return max_pool_2x2(out), out
 
@@ -99,12 +107,13 @@ class UpBlock(nn.Module):
 
     features: int
     use_output_act: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, down_input, skip_input):
         x = nearest_upsample(down_input)
-        x = jnp.concatenate([x, skip_input], axis=-1)
-        return DoubleConv(self.features, self.use_output_act)(x)
+        x = jnp.concatenate([x, skip_input.astype(x.dtype)], axis=-1)
+        return DoubleConv(self.features, self.use_output_act, dtype=self.dtype)(x)
 
 
 class StyledDenorm(nn.Module):
@@ -116,6 +125,7 @@ class StyledDenorm(nn.Module):
 
     features: int
     axis_name: Optional[str] = None
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, style, train: bool = True):
@@ -126,10 +136,14 @@ class StyledDenorm(nn.Module):
             use_bias=False,
             use_scale=False,
             axis_name=self.axis_name,
+            dtype=self.dtype,
         )(x)
-        actv = nn.relu(nn.Conv(self.features, (3, 3), padding="SAME")(style))
-        gamma = nn.Conv(self.features, (3, 3), padding="SAME")(actv)
-        beta = nn.Conv(self.features, (3, 3), padding="SAME")(actv)
+        style = style.astype(x.dtype)
+        actv = nn.relu(
+            nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(style)
+        )
+        gamma = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(actv)
+        beta = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(actv)
         return normalized * (1.0 + gamma) + beta
 
 
@@ -144,24 +158,33 @@ class StyledResUpBlock(nn.Module):
     use_output_act: bool = True
     use_pixel_shuffle: bool = False
     axis_name: Optional[str] = None
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, down_input, skip_input, train: bool = True):
         in_ch = down_input.shape[-1]
         if self.use_pixel_shuffle:
-            x = nn.Conv(in_ch * 4, (3, 3), padding="SAME")(down_input)
+            x = nn.Conv(in_ch * 4, (3, 3), padding="SAME", dtype=self.dtype)(down_input)
             x = pixel_shuffle(x, 2)
         else:
             x = nearest_upsample(down_input)
 
-        s = nn.relu(instance_norm(nn.Conv(self.features, (3, 3), padding="SAME")(x)))
+        s = nn.relu(
+            instance_norm(
+                nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            )
+        )
 
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
-        x = StyledDenorm(self.features, axis_name=self.axis_name)(x, skip_input, train)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = StyledDenorm(self.features, axis_name=self.axis_name, dtype=self.dtype)(
+            x, skip_input, train
+        )
         x = nn.relu(x)
 
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
-        x = StyledDenorm(self.features, axis_name=self.axis_name)(x, skip_input, train)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = StyledDenorm(self.features, axis_name=self.axis_name, dtype=self.dtype)(
+            x, skip_input, train
+        )
         if self.use_output_act:
             x = nn.relu(x)
 
@@ -177,11 +200,16 @@ class ASPP(nn.Module):
 
     features: int
     rates: Sequence[int] = (2, 6, 12, 18)
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
         outs = [
-            nn.relu(instance_norm(nn.Conv(self.features, (1, 1), use_bias=False)(x)))
+            nn.relu(
+                instance_norm(
+                    nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+                )
+            )
         ]
         for rate in self.rates:
             y = nn.Conv(
@@ -190,6 +218,7 @@ class ASPP(nn.Module):
                 padding=[(rate, rate), (rate, rate)],
                 kernel_dilation=(rate, rate),
                 use_bias=False,
+                dtype=self.dtype,
             )(x)
             outs.append(nn.relu(instance_norm(y)))
         return jnp.concatenate(outs, axis=-1)

@@ -35,17 +35,19 @@ class UNetDecoder(nn.Module):
     use_pixel_shuffle: bool = True
     use_last_pixel_shuffle: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[object] = None  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x, train: bool = True, drop_prob=0.0):
         f = list(self.filters)
         n_levels = len(f) - 1
 
+        x = x.astype(self.dtype or x.dtype)
         skips = []
         for i in range(n_levels):
-            x, skip = ResBlock(f[i])(x)
+            x, skip = ResBlock(f[i], dtype=self.dtype)(x)
             skips.append(skip)
-        x = DoubleConv(f[n_levels])(x)
+        x = DoubleConv(f[n_levels], dtype=self.dtype)(x)
         skips.reverse()
 
         xs = []
@@ -62,6 +64,7 @@ class UNetDecoder(nn.Module):
                 f[level],
                 use_pixel_shuffle=self.use_pixel_shuffle,
                 axis_name=self.axis_name,
+                dtype=self.dtype,
             )(x, skip, train)
             xs.append(x)
 
@@ -70,18 +73,20 @@ class UNetDecoder(nn.Module):
             for i, xi in enumerate(xs):
                 level = n_levels - 1 - i
                 if level > 0:
-                    y = nn.Conv((4**level) * f[0], (3, 3), padding="SAME")(xi)
+                    y = nn.Conv((4**level) * f[0], (3, 3), padding="SAME",
+                                dtype=self.dtype)(xi)
                     y = pixel_shuffle(y, 2**level)
                 else:
                     y = xi
                 outs.append(y)
             outs.reverse()
             out = jnp.concatenate(outs, axis=-1)
-            out = nn.Conv(self.out_channels, (1, 1))(out)
+            out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(out)
         else:
-            head = ASPP(f[0], rates=(2, 6, 12, 18))(x)
-            head = DoubleConv(f[0])(head)
+            head = ASPP(f[0], rates=(2, 6, 12, 18), dtype=self.dtype)(x)
+            head = DoubleConv(f[0], dtype=self.dtype)(head)
             out = x + head
-            out = nn.Conv(self.out_channels, (1, 1))(out)
+            out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(out)
 
-        return jnp.tanh(out)
+        # final activation in float32 (the loss dtype)
+        return jnp.tanh(out.astype(jnp.float32))

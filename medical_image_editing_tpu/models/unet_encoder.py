@@ -42,22 +42,24 @@ class UNetEncoder(nn.Module):
     filters: Sequence[int] = (64, 128, 256, 512, 1024)
     use_styled_up_block: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[object] = None  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         f = self.filters
+        x = x.astype(self.dtype or x.dtype)
         skips = []
         for i in range(4):
-            x, skip = ResBlock(f[i])(x)
+            x, skip = ResBlock(f[i], dtype=self.dtype)(x)
             skips.append(skip)
-        x = DoubleConv(f[4])(x)
+        x = DoubleConv(f[4], dtype=self.dtype)(x)
         for i in reversed(range(4)):
             if self.use_styled_up_block:
-                x = StyledResUpBlock(f[i], axis_name=self.axis_name)(
+                x = StyledResUpBlock(f[i], axis_name=self.axis_name, dtype=self.dtype)(
                     x, skips[i], train
                 )
             else:
-                x = UpBlock(f[i])(x, skips[i])
+                x = UpBlock(f[i], dtype=self.dtype)(x, skips[i])
         return x
 
 
@@ -151,12 +153,14 @@ class EncoderWithVQ:
         use_styled_up_block: bool = False,
         axis_name: Optional[str] = None,
         knn_backend: str = "xla",
+        dtype=None,
     ):
         del in_channels  # flax infers input channels
         self.module = UNetEncoder(
             filters=tuple(filters),
             use_styled_up_block=bool(use_styled_up_block),
             axis_name=axis_name,
+            dtype=dtype,
         )
         self.dict_size = dict_size
         self.emb_dim = filters[0]

@@ -102,6 +102,10 @@ class Trainer:
         dis_cfg = cfg.model.dis
 
         self.dict_size = int(gen.dict_size)
+        dtype_name = str(g(gen, "compute_dtype", "") or "")
+        self.compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
+            dtype_name, None
+        )
         self.encoder = EncoderWithVQ(
             in_channels=int(gen.in_channels),
             filters=tuple(gen.enc_filters),
@@ -110,6 +114,7 @@ class Trainer:
             use_styled_up_block=bool(g(gen, "enc_use_styled_up_block", False)),
             axis_name=self.axis_name,
             knn_backend=str(g(gen, "knn_backend", "xla") or "xla"),
+            dtype=self.compute_dtype,
         )
 
         if g(gen, "model_name", None) == "VQGAN":
@@ -141,6 +146,7 @@ class Trainer:
                 dropped_skip_layers=tuple(gen.dropped_skip_layers or ()),
                 use_pixel_shuffle=bool(g(gen, "use_pixel_shuffle", True)),
                 axis_name=self.axis_name,
+                dtype=self.compute_dtype,
             )
 
         self.dis_type = str(dis_cfg.model_name)
