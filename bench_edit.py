@@ -1,0 +1,61 @@
+"""Edit-latency benchmark (BASELINE.md north-star: p50 per-slice edit latency,
+jit-compiled decode at 512²) + batched 32-slice editing throughput. Prints two
+JSON lines; the driver-facing single-line benchmark stays in bench.py."""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from medical_image_editing_tpu.cli.edit_batch import make_batched_edit_fn
+    from medical_image_editing_tpu.models import UNetDecoder
+    from medical_image_editing_tpu.models.unet_encoder import EncoderWithVQ
+
+    enc = EncoderWithVQ(filters=(16, 32, 64, 128, 256), dict_size=10,
+                        momentum=0.999, dtype=jnp.bfloat16)
+    dec = UNetDecoder(out_channels=1, filters=(32, 64, 128, 256, 512),
+                      dropped_skip_layers=(), use_pixel_shuffle=False,
+                      dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 512, 512, 1), jnp.float32)
+    enc_vars, vq = enc.init(jax.random.key(0), x0)
+    q, *_ = enc(enc_vars, vq, x0, train=False)
+    dec_vars = dec.init({"params": jax.random.key(1),
+                         "dropblock": jax.random.key(2)}, q, train=False)
+
+    rng = np.random.default_rng(0)
+
+    # single-slice p50 latency (the run_recon hot path, run_recon.py:182-197)
+    edit1 = make_batched_edit_fn(dec, is_lung=True)
+    ids1 = jnp.asarray(rng.integers(0, 11, (1, 512, 512)).astype(np.int32))
+    np.asarray(edit1(dec_vars, vq, ids1))  # compile
+    lats = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        out = edit1(dec_vars, vq, ids1)
+        jax.block_until_ready(out)
+        lats.append((time.perf_counter() - t0) * 1000)
+    p50 = float(np.percentile(lats, 50))
+    print(json.dumps({"metric": "edit_latency_p50_512", "value": round(p50, 2),
+                      "unit": "ms/slice", "vs_baseline": None}))
+
+    # batched 32-slice editing throughput (BASELINE config #3)
+    edit32 = make_batched_edit_fn(dec, is_lung=True)
+    ids32 = jnp.asarray(rng.integers(0, 11, (32, 512, 512)).astype(np.int32))
+    np.asarray(edit32(dec_vars, vq, ids32))
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        out = edit32(dec_vars, vq, ids32)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"metric": "edit_throughput_batched32_512",
+                      "value": round(n * 32 / dt, 1),
+                      "unit": "slices/sec/chip", "vs_baseline": None}))
+
+
+if __name__ == "__main__":
+    main()
