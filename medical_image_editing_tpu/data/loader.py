@@ -106,6 +106,7 @@ class DataLoader:
         num_workers: int = 0,
         seed: int = 0,
         prefetch_batches: int = 2,
+        use_native: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -116,6 +117,21 @@ class DataLoader:
         self.prefetch_batches = prefetch_batches
         self._epoch = 0
         self._seed = seed
+        # native C++ batch loading (GIL-free thread pool) is usable when the
+        # samples come straight from fixed-size .npy files with no per-sample
+        # python transform; HU windowing is fused into the native pass.
+        self._native = False
+        if use_native and transform is None:
+            from . import native_loader
+
+            files = getattr(dataset, "files", None)
+            if (
+                files
+                and all(f.get("image_path") for f in files[: min(len(files), 4)])
+                and native_loader.is_available()
+            ):
+                self._native = True
+                self._native_window = getattr(dataset, "window", None)
 
     def __len__(self):
         n = len(self.dataset)
@@ -133,6 +149,11 @@ class DataLoader:
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
+            if self._native:
+                batch = self._native_batch(idx)
+                if batch is not None:
+                    yield batch
+                    continue
             samples = []
             for i in idx:
                 s = self.dataset[int(i)]
@@ -141,6 +162,30 @@ class DataLoader:
                     s["image"] = self.transform(sample_rng, s["image"])
                 samples.append(s)
             yield _collate(samples)
+
+    def _native_batch(self, idx):
+        """C++ thread-pool batch load (native/medimg_io.cpp); None → fallback."""
+        from . import native_loader
+
+        files = [self.dataset.files[int(i)] for i in idx]
+        paths = [f["image_path"] for f in files]
+        probe = np.load(paths[0], mmap_mode="r")
+        if probe.ndim != 2:
+            self._native = False
+            return None
+        h, w = probe.shape
+        try:
+            images = native_loader.load_npy_batch(
+                paths, h, w, window=self._native_window
+            )
+        except Exception:
+            self._native = False
+            return None
+        return {
+            "image": images[..., None],
+            "patient_id": [f["patient_id"] for f in files],
+            "slice_num": np.asarray([f["slice_num"] for f in files], np.int32),
+        }
 
     def __iter__(self) -> Iterator[dict]:
         if self.num_workers <= 0:
