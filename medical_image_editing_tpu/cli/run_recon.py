@@ -217,6 +217,9 @@ def serve(config, *, poll_seconds: float = 1.0, max_iters: Optional[int] = None,
 
 
 def main(argv=None):
+    from ..utils.config import load_dotenv
+
+    load_dotenv()  # LUNG_CKPT / LUNG_EDITED_FILE etc. (`run_recon.py:20-24`)
     parser = argparse.ArgumentParser(description="Interactive editing server")
     parser.add_argument("--config", choices=["lung", "crc"], default="lung")
     parser.add_argument("--show", action="store_true",

@@ -80,7 +80,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..utils.config import getattr_else_none as g
-    from ..utils.config import load_json
+    from ..utils.config import load_dotenv, load_json
+
+    load_dotenv()  # TOKEN / CHANNEL_ID etc. (`run_vqwnet.py:29-31`)
     from ..utils.seed import init_seed
 
     config = load_json(args.config)

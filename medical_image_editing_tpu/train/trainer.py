@@ -503,6 +503,19 @@ class Trainer:
                 )
             return written
 
+        if self.use_multi_window:
+            # multi-window test: HU-denormalized per-slice NIfTI export
+            # (spec: multi_window_trainer.py:796-836)
+            forward = evaluate.make_eval_forward(self.encoder, self.decoder)
+            written = []
+            for batch in loader:
+                written += evaluate.multi_window_test_export(
+                    forward, state, batch,
+                    save_root=str(self.config.save.save_dir),
+                    denormalize_fn=self.denormalize_ct_values,
+                )
+            return written
+
         fm = evaluate.make_test_metrics_fn(self.encoder, self.decoder, self.dict_size)
         outputs = []
         for i, batch in enumerate(loader):

@@ -80,3 +80,25 @@ def getattr_else_none(config, name: str, default=None):
         return getattr(config, name, default)
     except AttributeError:
         return default
+
+
+def load_dotenv(path: str = ".env") -> dict:
+    """Minimal python-dotenv replacement (the reference loads `.env` for
+    checkpoint paths and Slack secrets — `run_vqwnet.py:29-31`,
+    `run_recon.py:20-24`, `preprocess_*.py`). Parses KEY=VALUE lines into
+    os.environ (existing variables win) and returns the parsed dict."""
+    import os
+
+    parsed = {}
+    if not os.path.exists(path):
+        return parsed
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            key, value = key.strip(), value.strip().strip("'\"")
+            parsed[key] = value
+            os.environ.setdefault(key, value)
+    return parsed
