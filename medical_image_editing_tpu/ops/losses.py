@@ -134,7 +134,9 @@ def hinge_g_loss(logits_fake):
 # ---------------------------------------------------------------------------
 
 
-def focal_frequency_loss(pred, target, alpha: float = 1.0, log_matrix: bool = False):
+def focal_frequency_loss(
+    pred, target, alpha: float = 1.0, log_matrix: bool = False, use_rfft: bool = True
+):
     """Focal Frequency Loss (Jiang et al., ICCV'21), alpha=1, patch_factor=1.
 
     Used by the reference as `FFL(loss_weight=1.0, alpha=1.0)(recon, image)`
@@ -143,14 +145,26 @@ def focal_frequency_loss(pred, target, alpha: float = 1.0, log_matrix: bool = Fa
     Per-sample/channel: F = fft2(x, norm='ortho'); freq distance
     d = |F_p − F_t|²; spectrum weight w = (√d)^alpha normalized by its max
     (per sample-channel), clamped to [0,1], gradient-stopped; loss = mean(w·d).
+
+    TPU perf: real inputs have conjugate-symmetric spectra, so with
+    `use_rfft=True` (default) only the half-spectrum is computed (rfft2) and
+    the redundant columns are double-counted — exactly equal to the full-fft
+    value (the per-spectrum max used for the weight is also attained on the
+    half-spectrum by symmetry). Set use_rfft=False for the literal fft2 form.
     """
     # NHWC → (B,C,H,W) for per-channel FFT clarity
     p = jnp.transpose(pred, (0, 3, 1, 2)).astype(jnp.float32)
     t = jnp.transpose(target, (0, 3, 1, 2)).astype(jnp.float32)
-    fp = jnp.fft.fft2(p, norm="ortho")
-    ft = jnp.fft.fft2(t, norm="ortho")
+    h, w_full = p.shape[-2], p.shape[-1]
+
+    if use_rfft:
+        fp = jnp.fft.rfft2(p, norm="ortho")
+        ft = jnp.fft.rfft2(t, norm="ortho")
+    else:
+        fp = jnp.fft.fft2(p, norm="ortho")
+        ft = jnp.fft.fft2(t, norm="ortho")
     diff = fp - ft
-    dist = diff.real**2 + diff.imag**2  # (B,C,H,W)
+    dist = diff.real**2 + diff.imag**2  # (B,C,H,W) or (B,C,H,W//2+1)
 
     w = jnp.sqrt(dist) ** alpha
     if log_matrix:
@@ -159,7 +173,17 @@ def focal_frequency_loss(pred, target, alpha: float = 1.0, log_matrix: bool = Fa
     w = jnp.where(wmax > 0, w / wmax, 0.0)
     w = jnp.clip(jnp.nan_to_num(w), 0.0, 1.0)
     w = jax.lax.stop_gradient(w)
-    return jnp.mean(w * dist)
+
+    if not use_rfft:
+        return jnp.mean(w * dist)
+    # column multiplicity: DC (and Nyquist for even W) appear once in the full
+    # spectrum; interior rfft columns represent a conjugate pair → weight 2.
+    ncols = dist.shape[-1]
+    col = jnp.arange(ncols)
+    mult = jnp.where((col == 0) | ((w_full % 2 == 0) & (col == ncols - 1)), 1.0, 2.0)
+    total = jnp.sum(w * dist * mult[None, None, None, :])
+    b, c = dist.shape[0], dist.shape[1]
+    return total / (b * c * h * w_full)
 
 
 # ---------------------------------------------------------------------------

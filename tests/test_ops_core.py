@@ -477,3 +477,12 @@ def test_vq_apply_backend_seam(rng):
     for backend in ("xla", "torch", "pallas", "faiss"):
         q, c, i, s = vq_apply(state, x, backend=backend, train=False)
         assert q.shape == x.shape
+
+
+def test_focal_frequency_rfft_equals_full_fft(rng):
+    for hw in ((16, 16), (12, 10), (9, 7)):
+        x = jnp.asarray(rng.normal(size=(2, *hw, 1)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(2, *hw, 1)).astype(np.float32))
+        full = float(focal_frequency_loss(x, y, use_rfft=False))
+        half = float(focal_frequency_loss(x, y, use_rfft=True))
+        np.testing.assert_allclose(half, full, rtol=1e-5)
