@@ -13,7 +13,7 @@ two MXU matmuls; layouts NHWC. Init: orthogonal for conv/linear kernels
 (reference D_init='ortho', `unet_discriminator.py:530-542`).
 """
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

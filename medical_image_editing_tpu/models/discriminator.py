@@ -14,7 +14,6 @@ Init: N(0, 0.02) for conv kernels (`discriminator.py:9-15`).
 
 from typing import Optional
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .actnorm import ActNorm

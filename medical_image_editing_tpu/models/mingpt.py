@@ -14,7 +14,7 @@ static shapes, so the single-token decode step compiles once and can be
 `lax.scan`ned, instead of the reference's per-step `torch.cat` growth.
 """
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

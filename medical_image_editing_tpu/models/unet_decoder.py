@@ -17,7 +17,7 @@ DropBlock's drop probability is scheduled per epoch outside the jitted step
 uses the module's 'dropblock' RNG stream.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -20,7 +20,7 @@ follows the reference: only on down-path blocks whose resolution matches
 `D_attn` (attention_condition index<5, `:477-481`).
 """
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

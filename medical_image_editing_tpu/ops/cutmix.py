@@ -10,8 +10,6 @@ sampled from an explicit PRNG key and realized as a (H,W) {0,1} mask built from
 surrounding elementwise ops. The mask IS the box; pasting is a `where`.
 """
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -24,8 +24,6 @@ The npz format for MEDIMG_VGG19_NPZ: keys `features.{i}.weight` (OIHW) /
 
 import os
 import warnings
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

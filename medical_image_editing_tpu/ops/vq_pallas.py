@@ -16,7 +16,6 @@ collective hooks) and is cross-checked against it in tests (the XLA path is
 the reference implementation, mirroring the torch/faiss seam).
 """
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -24,18 +24,15 @@ equivalents of DDP all-reduce, the reference's VQ collective, and
 sync-batchnorm respectively.
 """
 
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 
 from ..ops.augment import forward_transform, random_transform, reverse_transform
 from ..ops.losses import embedding_loss, focal_frequency_loss
 from ..ops.onehot import one_hot
-from ..ops.vq import VQState
 from ..ops.windowing import denorm, norm
 from .state import TrainState
 

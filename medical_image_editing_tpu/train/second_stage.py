@@ -25,7 +25,7 @@ parity) and are threaded through the scan carry. With `axis_name`, both
 decoder and discriminator grads are `pmean`'d.
 """
 
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -33,17 +33,13 @@ from ..models import NLayerDiscriminator, UNetDecoder, UNetDiscriminator
 from ..models.unet_encoder import EncoderWithVQ
 from ..models.vqgan import VQGAN
 from ..ops.dropblock import dropblock_schedule
-from ..ops.windowing import denormalize, normalize, t_normalize
-from ..parallel import DATA_AXIS, create_mesh, data_parallel, replicate, shard_batch
+from ..ops.windowing import denormalize, t_normalize
+from ..parallel import DATA_AXIS, create_mesh, data_parallel, replicate
 from ..utils.checkpoint import CheckpointManager, restore_fields
 from ..utils.config import getattr_else_none as g
 from ..utils.logging import Logger, is_main_process
 from . import evaluate
-from .first_stage import (
-    FirstStageLossConfig,
-    loss_config_from_json,
-    make_first_stage_step,
-)
+from .first_stage import loss_config_from_json, make_first_stage_step
 from .multi_window import (
     make_joint_step,
     make_multi_window_first_stage_step,

@@ -8,8 +8,7 @@ across depth shards (no hand-written collectives). Gradients reduce over BOTH
 axes automatically (the loss is a global mean under GSPMD).
 """
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +20,6 @@ from ..models.volumetric import (
     VolumetricUNetEncoder,
     volumetric_forward,
 )
-from ..ops.vq import VQState
 
 
 def create_volumetric_mesh(devices, data: int, spatial: int) -> Mesh:

@@ -19,7 +19,6 @@ import os
 import re
 from typing import Optional, Sequence
 
-import jax
 import orbax.checkpoint as ocp
 
 _CKPT_RE = re.compile(r"ckpt-epoch=(\d+)")

@@ -7,9 +7,6 @@ constant (`src/trainers/base.py:43`). The reference's `save_images`
 (document-and-diverge, SURVEY.md §7 quirks list).
 """
 
-import os
-from typing import Optional
-
 import numpy as np
 
 CMAP = "Spectral"  # label-map colormap, `src/trainers/base.py:43`
