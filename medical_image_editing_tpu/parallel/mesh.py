@@ -78,3 +78,28 @@ def data_parallel(
         return mapped(*args)
 
     return jax.jit(wrapped)
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bootstrap: `jax.distributed.initialize` wrapper.
+
+    TPU-native replacement for the reference's torch.distributed/NCCL process
+    group setup (SURVEY.md §2.8 backend row). On a single host this is a no-op;
+    on TPU pods JAX auto-detects the coordinator from the environment when no
+    arguments are given. Call once before any jax computation.
+    """
+    import jax
+
+    if num_processes in (None, 1) and coordinator_address is None:
+        try:
+            if jax.process_count() > 1:
+                return  # already initialized by the runtime
+        except RuntimeError:
+            pass
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

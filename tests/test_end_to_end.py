@@ -179,3 +179,34 @@ def test_run_recon_edit_loop(tmp_path, rng):
     # determinism: same map → same decode (jit-compiled path is pure)
     recon2, _ = rr.process_edit(edit_fn, config, loaded, save_dir=config.save_dir_path)
     np.testing.assert_allclose(recon, recon2, atol=1e-6)
+
+
+def test_fit_resume_from_checkpoint(crc_env):
+    """Checkpoint → resume continues at the saved epoch with identical state
+    (SURVEY.md §5 checkpoint/resume capability)."""
+    import jax
+    import jax.numpy as jnp
+
+    tmp_path, cfg_path, cfg = crc_env
+    from medical_image_editing_tpu.train.trainer import Trainer
+    from medical_image_editing_tpu.utils.config import to_config
+    from medical_image_editing_tpu.utils.logging import Logger
+
+    logger = Logger(str(tmp_path / "resume_run"), config=to_config(cfg),
+                    monitoring_metrics=["total"], name="r")
+    trainer = Trainer(to_config(cfg), logger=logger)
+    state = trainer.fit(max_epochs=1)
+    assert int(jax.device_get(state.epoch)) == 1
+    ckpt_dir = os.path.join(logger.log_dir, "ckpt")
+    assert os.path.isdir(ckpt_dir)
+
+    cfg2 = json.loads(json.dumps(cfg))
+    cfg2["run"]["resume_checkpoint"] = ckpt_dir
+    cfg2["run"]["n_epochs"] = 2
+    logger2 = Logger(str(tmp_path / "resume_run2"), config=to_config(cfg2),
+                     monitoring_metrics=["total"], name="r")
+    trainer2 = Trainer(to_config(cfg2), logger=logger2)
+    state2 = trainer2.fit()
+    # resumed from epoch 1, trained epoch 1 → epoch counter at 2
+    assert int(jax.device_get(state2.epoch)) == 2
+    assert int(jax.device_get(state2.step)) > int(jax.device_get(state.step)) - 1
