@@ -107,6 +107,7 @@ class DataLoader:
         seed: int = 0,
         prefetch_batches: int = 2,
         use_native: bool = True,
+        shard_by_process: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -117,6 +118,18 @@ class DataLoader:
         self.prefetch_batches = prefetch_batches
         self._epoch = 0
         self._seed = seed
+        # multi-host: shard the sample space across processes (the functional
+        # analogue of DDP's DistributedSampler, which Lightning installs
+        # implicitly — run_vqwnet.py:112-127). Same seed everywhere keeps the
+        # permutation consistent; each process takes a strided slice.
+        self._process_shard = (1, 0)
+        if shard_by_process:
+            try:
+                import jax
+
+                self._process_shard = (jax.process_count(), jax.process_index())
+            except Exception:
+                pass
         # native C++ batch loading (GIL-free thread pool) is usable when the
         # samples come straight from fixed-size .npy files with no per-sample
         # python transform; HU windowing is fused into the native pass.
@@ -143,6 +156,10 @@ class DataLoader:
         n = len(self.dataset)
         rng = np.random.default_rng(self._seed + self._epoch)
         order = rng.permutation(n) if self.shuffle else np.arange(n)
+        pcount, pidx = self._process_shard
+        if pcount > 1:
+            order = order[pidx::pcount]
+            n = len(order)
         self._epoch += 1
         sample_rng = np.random.default_rng(rng.integers(2**31))
         for start in range(0, n, self.batch_size):
@@ -268,6 +285,9 @@ def get_data_loader(
         "CRCDataset",
         "SyntheticSliceDataset",
     }, dataset_name
+    # NB: the reference trains with drop_last=False (ragged tail batch);
+    # here train drops the tail so the jitted step never retraces on a new
+    # batch shape (documented jit-friendliness divergence).
     augmentations = augmentations or []
     if mode != "train":
         assert not augmentations, "augmentations are train-only (data_loader.py:49,90,124)"
