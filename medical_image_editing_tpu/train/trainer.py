@@ -382,9 +382,7 @@ class Trainer:
 
             sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
-        eval_forward = None
-        if not self.use_vqgan:
-            eval_forward = evaluate.make_eval_forward(self.encoder, self.decoder)
+        eval_forward = self._make_eval_forward()
 
         db_start, db_stop, db_steps = self._db
         global_step = int(jax.device_get(state.step))
@@ -420,6 +418,21 @@ class Trainer:
             if done:
                 break
         return state
+
+    def _make_eval_forward(self):
+        """Jitted eval forward for snapshots/validation/test — the VQGAN path
+        reconstructs through the whole autoencoder (spec:
+        vqgan_unet_dis.py:187-292 validation grids)."""
+        if not self.use_vqgan:
+            return evaluate.make_eval_forward(self.encoder, self.decoder)
+        vqgan = self.vqgan
+
+        @jax.jit
+        def forward(state, image):
+            recon, _, ids, _, _ = vqgan.apply(state.dec_vars, image, state.vq, False)
+            return recon, ids
+
+        return forward
 
     def _snapshot(self, eval_forward, state, batch, epoch, global_step):
         """Rank-0 train snapshot: image / recon / ids grid + optional upload."""
@@ -498,6 +511,32 @@ class Trainer:
                     to_lung_fn=self.to_lung,
                 )
             return written
+
+        if self.use_vqgan:
+            # VQGAN path: recon metrics through the autoencoder
+            forward = self._make_eval_forward()
+
+            @jax.jit
+            def fm(state, image):
+                recon, ids = forward(state, image)
+                from ..ops.metrics import label_entropy, nmse, psnr, ssim
+
+                dict_size = int(self.config.model.vqgan.dict_size)
+                return {
+                    "NMSE": nmse(recon, image),
+                    "SSIM": ssim(recon, image),
+                    "PSNR": psnr(recon, image),
+                    "Entropy": label_entropy(ids + 1, dict_size),
+                }, recon, ids
+
+            outputs = []
+            for i, batch in enumerate(loader):
+                m, recon, ids = fm(state, jnp.asarray(batch["image"]))
+                outputs.append({k: float(v) for k, v in m.items()})
+            if save_dir_path is None and self.logger is not None:
+                save_dir_path = self.logger.log_dir
+            result = evaluate.test_epoch_end(outputs, save_dir_path or ".")
+            return outputs, result
 
         if self.use_multi_window:
             # multi-window test: HU-denormalized per-slice NIfTI export
