@@ -384,6 +384,15 @@ class Trainer:
 
         eval_forward = self._make_eval_forward()
 
+        # Lightning's num_sanity_val_steps parity (`run_vqwnet.py:125`):
+        # validate before training when use_validation_sanity_check is set
+        if (
+            eval_forward is not None
+            and self.logger is not None
+            and bool(g(run, "use_validation_sanity_check", False))
+        ):
+            self._validate(eval_forward, state, epoch=-1)
+
         db_start, db_stop, db_steps = self._db
         global_step = int(jax.device_get(state.step))
         done = False
