@@ -210,3 +210,26 @@ def test_fit_resume_from_checkpoint(crc_env):
     # resumed from epoch 1, trained epoch 1 → epoch counter at 2
     assert int(jax.device_get(state2.epoch)) == 2
     assert int(jax.device_get(state2.step)) > int(jax.device_get(state.step)) - 1
+
+
+def test_cli_train_multiwindow_flag(crc_env):
+    """-w flavor through the CLI: multi-window first_step trains."""
+    tmp_path, cfg_path, cfg = crc_env
+    cfg2 = json.loads(json.dumps(cfg))
+    cfg2["dataset"].update({"window_width": 4096, "window_center": 0.0,
+                            "window_scale": 2.0})
+    cfg2["loss"]["recon_weights"] = [1.0, 1.0, 1.0]
+    cfg2["loss"]["freq_weights"] = [1.0, 1.0, 1.0]
+    cfg2["loss"]["percep_weights"] = [0.0, 0.0, 0.0]
+    cfg2["save"]["study_name"] = "e2e_mw"
+    p = tmp_path / "config_mw.json"
+    p.write_text(json.dumps(cfg2))
+    from medical_image_editing_tpu.cli.run_vqwnet import main
+
+    rc = main(["-c", str(p), "-m", "train", "-w", "--max-steps", "2"])
+    assert rc == 0
+    log = (tmp_path / "results" / "e2e_mw" / "version_0" / "log.csv").read_text()
+    lines = log.splitlines()
+    assert len(lines) >= 3
+    total = float(lines[1].split(",")[2])
+    assert np.isfinite(total)
