@@ -1,10 +1,16 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints one JSON line per metric (headline metric LAST).
 
 North-star metric (BASELINE.md): VQ-WNet first-stage training images/sec/chip
 at 256², batch 8, flagship config (enc [16,32,64,128,256], dec
 [32,64,128,256,512], dict_size 10). `vs_baseline` compares against the
 CPU-baseline images/sec measured once on this container's host CPU
-(BASELINE.json target: >10× CPU baseline on TPU).
+(BASELINE.json target: >10× CPU baseline on TPU). Also emits the editing
+north-star metrics (BASELINE.md row 3): p50 single-slice edit latency @512²
+and batched 32-slice editing throughput.
+
+Timing note: `jax.block_until_ready` does not reliably block on this
+environment's axon-tunneled TPU; every measurement forces a device→host
+value transfer that depends on the whole step chain instead.
 """
 
 import json
@@ -72,6 +78,15 @@ def build():
 
 
 def main():
+    try:
+        from bench_edit import run_edit_benchmarks
+
+        run_edit_benchmarks()
+    except Exception as e:  # edit metrics are additive — never break the headline
+        import sys
+
+        print(f"edit benchmarks failed: {e!r}", file=sys.stderr)
+
     state, step = build()
     rng = np.random.default_rng(0)
     image = jnp.asarray(
@@ -86,7 +101,9 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = step(state, image, jnp.float32(0.0))
-    jax.block_until_ready(state)
+    # metrics of the last step depends on the full feedback chain; forcing its
+    # value is the only reliable completion barrier on this platform
+    assert np.isfinite(float(metrics["total"]))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = n_iters * BATCH / dt

@@ -43,8 +43,9 @@ _VGG19_CHANNELS = {
     19: 512, 21: 512, 23: 512, 25: 512, 28: 512, 30: 512, 32: 512, 34: 512,
 }
 
-_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+def _vgg_pretrained(stop_index: int) -> bool:
+    path = os.environ.get("MEDIMG_VGG19_NPZ", "")
+    return bool(path and os.path.exists(path))
 
 
 def _load_vgg_params(stop_index: int) -> dict:
@@ -94,97 +95,149 @@ def _vgg_features(params: dict, stop_index: int, x):
             h = jax.lax.conv_general_dilated(
                 h, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
             ) + b
-            h = jax.nn.relu(h)
+            # torchvision puts each ReLU at idx+1; the reference slices
+            # `modules[:8]` / `modules[:35]` END at a conv (relu2_2/relu5_4
+            # excluded despite the naming) — apply relu only if its module
+            # index is inside the slice.
+            if idx + 1 < stop_index:
+                h = jax.nn.relu(h)
     return h
 
 
 def make_vgg_loss(conv_index: str = "22"):
-    """(pred, target in [-1,1], (B,H,W,1|3)) → scalar. Spec: `perceptual_loss.py`."""
+    """(pred, target in [-1,1], (B,H,W,1|3)) → scalar. Spec: `perceptual_loss.py`.
+
+    Parity note: the reference feeds the raw [-1,1] tensors STRAIGHT into
+    torchvision VGG19 with no ImageNet mean/std normalization
+    (`perceptual_loss.py:44-53`) — unusual, but it is the trained objective;
+    replicated exactly so transplanted-weight loss values match.
+    """
     stop_index = {"22": 8, "54": 35}[conv_index]
     params = _load_vgg_params(stop_index)
-    mean = jnp.asarray(_IMAGENET_MEAN)
-    std = jnp.asarray(_IMAGENET_STD)
 
     def loss(pred, target):
         def prep(x):
             x = x.astype(jnp.float32)
             if x.shape[-1] == 1:
                 x = jnp.repeat(x, 3, axis=-1)  # channel expansion (`:44-46`)
-            # reference feeds [-1,1] tensors straight into torchvision VGG;
-            # we map to [0,1] + ImageNet normalization (the usual VGG input)
-            x = (x + 1.0) / 2.0
-            return (x - mean) / std
+            return x
 
         fp = _vgg_features(params, stop_index, prep(pred))
         ft = _vgg_features(params, stop_index, prep(jax.lax.stop_gradient(target)))
         return jnp.mean((fp - ft) ** 2)
 
+    loss.pretrained = _vgg_pretrained(stop_index)
     return loss
 
 
-def make_lpips_loss():
-    """LPIPS-style: normalized feature differences at several depths, averaged.
+# AlexNet feature stack (torchvision `alexnet().features`) — the backbone of
+# `lpips.LPIPS(net='alex')` used by the reference (`lpips_loss.py:12`).
+# (out_ch, kernel, stride, pad, maxpool_before)
+_ALEX_CONVS = [
+    (64, 11, 4, 2, False),   # conv1  → relu1 (tap 0)
+    (192, 5, 1, 2, True),    # conv2  → relu2 (tap 1)
+    (384, 3, 1, 1, True),    # conv3  → relu3 (tap 2)
+    (256, 3, 1, 1, False),   # conv4  → relu4 (tap 3)
+    (256, 3, 1, 1, False),   # conv5  → relu5 (tap 4)
+]
+# LPIPS v0.1 scaling layer constants (applies to [-1,1] inputs).
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
-    Without the released LPIPS linear weights this reduces to equal-weighted
-    normalized feature-space distances over the VGG stack (spec intent:
-    `lpips_loss.py`); load MEDIMG_LPIPS_NPZ with per-layer `lin{i}` (C,) scale
-    vectors to reproduce the released metric exactly.
+
+def _load_lpips_alex_params():
+    """AlexNet conv kernels + LPIPS linear heads.
+
+    MEDIMG_LPIPS_NPZ = the lpips package's own state_dict saved as npz:
+
+        import lpips, numpy as np
+        m = lpips.LPIPS(net='alex')
+        np.savez(path, **{k: v.numpy() for k, v in m.state_dict().items()})
+
+    i.e. keys `net.slice{s}.{i}.weight/bias` (convs, OIHW) and
+    `lin{i}.model.1.weight` ((1,C,1,1) non-negative heads). Falls back to a
+    seeded random AlexNet with uniform heads when unset.
     """
-    stop_index = 35
-    params = _load_vgg_params(stop_index)
-    mean = jnp.asarray(_IMAGENET_MEAN)
-    std = jnp.asarray(_IMAGENET_STD)
-    # feature taps: relu1_2, relu2_2, relu3_4, relu4_4, relu5_4
-    taps = (2, 7, 16, 25, 34)
-
-    lins = None
     path = os.environ.get("MEDIMG_LPIPS_NPZ", "")
+    convs, lins = [], []
     if path and os.path.exists(path):
         raw = np.load(path)
-        lins = [jnp.asarray(raw[f"lin{i}"]) for i in range(len(taps))]
+        conv_keys = sorted(
+            (k for k in raw.files if k.startswith("net.slice") and k.endswith(".weight")),
+            key=lambda k: (int(k.split(".")[1][5:]), int(k.split(".")[2])),
+        )
+        for wk in conv_keys:
+            bk = wk[:-len("weight")] + "bias"
+            w = raw[wk]  # OIHW
+            convs.append((jnp.asarray(w.transpose(2, 3, 1, 0)), jnp.asarray(raw[bk])))
+        for i in range(5):
+            lw = raw[f"lin{i}.model.1.weight"]  # (1,C,1,1)
+            lins.append(jnp.asarray(lw.reshape(-1)))
+        return convs, lins, True
+
+    warnings.warn(
+        "No pretrained LPIPS(alex) weights (set MEDIMG_LPIPS_NPZ); using a "
+        "seeded random AlexNet with uniform linear heads.",
+        stacklevel=2,
+    )
+    key = jax.random.key(4321)
+    in_ch = 3
+    for out_ch, k, _, _, _ in _ALEX_CONVS:
+        key, sub = jax.random.split(key)
+        w = jax.nn.initializers.he_normal()(sub, (k, k, in_ch, out_ch), jnp.float32)
+        convs.append((w, jnp.zeros((out_ch,), jnp.float32)))
+        lins.append(jnp.full((out_ch,), 1.0 / out_ch, jnp.float32))
+        in_ch = out_ch
+    return convs, lins, False
+
+
+def make_lpips_loss():
+    """LPIPS with the AlexNet backbone — matches `lpips.LPIPS(net='alex')`
+    (reference `lpips_loss.py`): scaling layer on [-1,1] inputs, AlexNet
+    relu1–relu5 taps, per-tap unit channel normalization, squared difference
+    through the learned non-negative 1×1 heads, spatial mean, summed over
+    taps, mean over batch.
+    """
+    convs, lins, pretrained = _load_lpips_alex_params()
+    shift = jnp.asarray(_LPIPS_SHIFT)
+    scale = jnp.asarray(_LPIPS_SCALE)
 
     def features(x):
         feats = []
         h = x
-        for idx, kind in _VGG19_LAYOUT:
-            if idx >= stop_index:
-                break
-            if kind == "M":
+        for (w, b), (_, _, stride, pad, pool_before) in zip(convs, _ALEX_CONVS):
+            if pool_before:
                 h = jax.lax.reduce_window(
-                    h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+                    h, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
                 )
-                continue
-            w, b = params[idx]
             h = jax.lax.conv_general_dilated(
-                h, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+                h, w, (stride, stride), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + b
             h = jax.nn.relu(h)
-            if idx in taps:
-                feats.append(h)
+            feats.append(h)
         return feats
 
     def loss(pred, target):
         def prep(x):
             x = x.astype(jnp.float32)
             if x.shape[-1] == 1:
-                x = jnp.repeat(x, 3, axis=-1)
-            x = (x + 1.0) / 2.0
-            return (x - mean) / std
+                x = jnp.repeat(x, 3, axis=-1)  # channel expansion (`:16-17`)
+            return (x - shift) / scale  # LPIPS ScalingLayer
 
         fp = features(prep(pred))
         ft = features(prep(jax.lax.stop_gradient(target)))
         total = jnp.float32(0.0)
-        for i, (a, b) in enumerate(zip(fp, ft)):
-            a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
-            b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
+        for lin, a, b in zip(lins, fp, ft):
+            # unit-normalize along channels (lpips normalize_tensor, eps 1e-10)
+            a = a / (jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2
-            if lins is not None:
-                d = d * lins[i][None, None, None, :]
-                total += jnp.mean(jnp.sum(d, axis=-1))
-            else:
-                total += jnp.mean(jnp.sum(d, axis=-1)) / len(fp)
+            # lin head then spatial average (lpips spatial=False path)
+            total += jnp.mean(jnp.sum(d * lin[None, None, None, :], axis=-1))
         return total
 
+    loss.pretrained = pretrained
     return loss
 
 

@@ -82,15 +82,16 @@ def test_step(
     out = {k: float(v) for k, v in metrics.items()}
 
     if save_dir_path is not None:
-        if dataset_name != "CRCDataset":
-            raise NotImplementedError(
-                "per-batch test image export is CRC-only (spec `:803-820`)"
-            )
+        # Reference parity note: the reference hard-raises NotImplementedError
+        # for non-CRC test export (`single_window_trainer.py:822-823`). Fixed
+        # equivalent here: export generically for every dataset; only CRC gets
+        # the vertical flip (undoing its preprocessing flip, `:808-811`).
         os.makedirs(save_dir_path, exist_ok=True)
         s = str(batch_idx).zfill(4)
-        img = np.flipud(np.asarray(batch["image"])[0, ..., 0])
-        rec = np.flipud(np.asarray(recon)[0, ..., 0])
-        idm = np.flipud(np.asarray(ids)[0])
+        flip = np.flipud if dataset_name == "CRCDataset" else (lambda a: a)
+        img = flip(np.asarray(batch["image"])[0, ..., 0])
+        rec = flip(np.asarray(recon)[0, ..., 0])
+        idm = flip(np.asarray(ids)[0])
         save_image(img, "gray", -1, 1, os.path.join(save_dir_path, f"image_{s}.png"))
         save_image(rec, "gray", -1, 1, os.path.join(save_dir_path, f"recon_{s}.png"))
         save_image(idm, CMAP, 0, dict_size, os.path.join(save_dir_path, f"idx_{s}.png"))
