@@ -233,3 +233,22 @@ def reverse_transform(ids, mats) -> jax.Array:
     return warp_perspective(ids.astype(jnp.float32)[..., None], inv, method="nearest")[
         ..., 0
     ]
+
+
+def cross_view_transform(ids, mats_src, mats_dst) -> jax.Array:
+    """Warp an id map from view-src's frame into view-dst's frame in ONE
+    nearest resample (matrix `mats_dst · mats_src⁻¹`).
+
+    Semantically equivalent to the reference's
+    `forward_transform(reverse_transform(ids, mats_src), mats_dst)`
+    (`single_window_trainer.py:91-96`) but with a single nearest-neighbor
+    quantization instead of two — strictly less resampling error, and half
+    the gather traffic on TPU. Border behavior differs only for pixels whose
+    round trip leaves and re-enters the canvas (zero-padded in the two-pass
+    form), a measure-zero fringe for the small affine augmentations used here.
+    """
+    m = jnp.einsum("bij,bjk->bik", mats_dst.astype(jnp.float32),
+                   jnp.linalg.inv(mats_src.astype(jnp.float32)))
+    return warp_perspective(ids.astype(jnp.float32)[..., None], m, method="nearest")[
+        ..., 0
+    ]

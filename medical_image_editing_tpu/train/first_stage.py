@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.augment import forward_transform, random_transform, reverse_transform
+from ..ops.augment import cross_view_transform, random_transform
 from ..ops.losses import embedding_loss, focal_frequency_loss
 from ..ops.onehot import one_hot
 from ..ops.windowing import denorm, norm
@@ -132,9 +132,10 @@ def make_first_stage_step(
             )
             l_commit = commit_1 + commit_2
 
-            # id maps are data: warp round trips under stop_gradient by nature
-            r_ids_1 = forward_transform(reverse_transform(ids_1, mats_1), mats_2)
-            r_ids_2 = forward_transform(reverse_transform(ids_2, mats_2), mats_1)
+            # id maps are data: warp round trips under stop_gradient by nature.
+            # single composed resample per direction (see cross_view_transform)
+            r_ids_1 = cross_view_transform(ids_1, mats_1, mats_2)
+            r_ids_2 = cross_view_transform(ids_2, mats_2, mats_1)
             r_oh_1 = one_hot(r_ids_1, dict_size + 1)[..., 1:]
             r_oh_2 = one_hot(r_ids_2, dict_size + 1)[..., 1:]
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.augment import forward_transform, random_transform, reverse_transform
+from ..ops.augment import cross_view_transform, random_transform
 from ..ops.cutmix import cutmix_coordinates, cutmix_mask, mask_src_tgt
 from ..ops.losses import embedding_loss, focal_frequency_loss, hinge_d_loss
 from ..ops.onehot import one_hot
@@ -353,8 +353,8 @@ def make_joint_step(
             )
             l_commit = commit_1 + commit_2
 
-            r_ids_1 = forward_transform(reverse_transform(ids_1, mats_1), mats_2)
-            r_ids_2 = forward_transform(reverse_transform(ids_2, mats_2), mats_1)
+            r_ids_1 = cross_view_transform(ids_1, mats_1, mats_2)
+            r_ids_2 = cross_view_transform(ids_2, mats_2, mats_1)
             r_oh_1 = one_hot(r_ids_1, dict_size + 1)[..., 1:]
             r_oh_2 = one_hot(r_ids_2, dict_size + 1)[..., 1:]
             l_cross, l_dist, l_reg = embedding_loss(

@@ -132,3 +132,43 @@ def test_warp_jit_compiles_once(rng):
     out1 = f(x, m)
     out2 = f(x * 2, m)
     np.testing.assert_allclose(np.asarray(out2), 2 * np.asarray(out1), atol=1e-5)
+
+
+def test_warp_matches_map_coordinates_golden(rng):
+    """The packed-gather sampler must be bit-equal to
+    jax.scipy.ndimage.map_coordinates(mode='constant', cval=0) — including the
+    out-of-support fringe (large translation) and multi-channel images."""
+    import jax
+    from functools import partial
+    from medical_image_editing_tpu.ops.warp import warp_perspective
+
+    def golden(x, mats, order):
+        def one(img, m):
+            h, w, c = img.shape
+            mi = jnp.linalg.inv(m)
+            ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+            xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+            sx = mi[0, 0] * xs + mi[0, 1] * ys + mi[0, 2]
+            sy = mi[1, 0] * xs + mi[1, 1] * ys + mi[1, 2]
+            den = mi[2, 0] * xs + mi[2, 1] * ys + mi[2, 2]
+            sx, sy = sx / den, sy / den
+            return jnp.stack(
+                [jax.scipy.ndimage.map_coordinates(
+                    img[..., i], [sy, sx], order=order, mode="constant", cval=0.0)
+                 for i in range(c)], -1)
+        return jax.vmap(partial(one))(x.astype(jnp.float32), mats)
+
+    h = w = 24
+    for c, angle, tx in [(1, 4.0, 2.0), (3, 30.0, 15.0), (1, 0.0, 23.5)]:
+        th = np.deg2rad(angle)
+        m = np.eye(3, dtype=np.float32)
+        m[0, 0] = np.cos(th); m[0, 1] = -np.sin(th)
+        m[1, 0] = np.sin(th); m[1, 1] = np.cos(th)
+        m[0, 2] = tx
+        mats = jnp.asarray(np.broadcast_to(m, (2, 3, 3)).copy())
+        x = jnp.asarray(rng.uniform(-1, 1, (2, h, w, c)).astype(np.float32))
+        for method, order in [("bilinear", 1), ("nearest", 0)]:
+            got = warp_perspective(x, mats, method=method)
+            want = golden(x, mats, order)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-6, err_msg=f"{method} c={c} tx={tx}")
