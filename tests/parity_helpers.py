@@ -1,0 +1,293 @@
+"""Shared weight-transplant machinery for torch-oracle parity tests.
+
+The reference package is imported read-only with stub modules for its missing
+deps (utils / kmeans_pytorch — SURVEY.md notes its requirements drift); a fake
+'networks' package skips its __init__ (which pulls kornia). Weight transplants
+are mechanical OIHW→HWIO (+ spectral-norm u-vector copies); nothing from the
+reference is reused as implementation.
+"""
+
+import importlib
+import os
+import sys
+import types
+
+import jax.numpy as jnp
+
+REF_SRC = "/root/reference/src"
+
+
+def import_ref_module(name: str):
+    """Import `networks.<name>` from the reference with dep stubs in place."""
+    utils_stub = sys.modules.get("utils")
+    if utils_stub is None or not hasattr(utils_stub, "get_world_size"):
+        utils_stub = types.ModuleType("utils")
+        sys.modules["utils"] = utils_stub
+    utils_stub.get_world_size = lambda: 1
+    utils_stub.is_distributed = lambda: False
+    km_stub = types.ModuleType("kmeans_pytorch")
+    km_stub.kmeans = None
+    sys.modules.setdefault("kmeans_pytorch", km_stub)
+    if "networks" not in sys.modules:
+        pkg = types.ModuleType("networks")
+        pkg.__path__ = [os.path.join(REF_SRC, "networks")]
+        sys.modules["networks"] = pkg
+    return importlib.import_module(f"networks.{name}")
+
+
+def _np(t):
+    """torch tensor → OWNING numpy copy. `.detach().numpy()` is a view of the
+    torch storage, and this environment's CPU jax backend zero-copy-aliases
+    numpy inputs in `jnp.asarray` — a later in-place torch update (e.g. the
+    spectral-norm u buffers during a forward) would silently mutate the
+    transplanted jax array."""
+    import numpy as np
+
+    return np.array(t.detach().numpy(), copy=True)
+
+
+def _k(w):  # OIHW → HWIO
+    return jnp.asarray(_np(w).transpose(2, 3, 1, 0))
+
+
+def _b(b):
+    return jnp.asarray(_np(b))
+
+
+def _lin(w):  # torch Linear (out,in) → flax Dense (in,out)
+    return jnp.asarray(_np(w).T)
+
+
+def double_conv_params(tdc):
+    import torch
+
+    convs = [m for m in tdc.double_conv if isinstance(m, torch.nn.Conv2d)]
+    return {
+        "Conv_0": {"kernel": _k(convs[0].weight), "bias": _b(convs[0].bias)},
+        "Conv_1": {"kernel": _k(convs[1].weight), "bias": _b(convs[1].bias)},
+    }
+
+
+def res_block_params(trb):
+    return {
+        "Conv_0": {"kernel": _k(trb.downsample[0].weight)},
+        "DoubleConv_0": double_conv_params(trb.double_conv),
+    }
+
+
+def up_block_params(tub):
+    return {"DoubleConv_0": double_conv_params(tub.double_conv)}
+
+
+def styled_denorm_params(tsd):
+    return {
+        "Conv_0": {"kernel": _k(tsd.mlp_shared[0].weight), "bias": _b(tsd.mlp_shared[0].bias)},
+        "Conv_1": {"kernel": _k(tsd.mlp_gamma.weight), "bias": _b(tsd.mlp_gamma.bias)},
+        "Conv_2": {"kernel": _k(tsd.mlp_beta.weight), "bias": _b(tsd.mlp_beta.bias)},
+    }
+
+
+def styled_up_params(tsu, use_pixel_shuffle):
+    p = {}
+    if use_pixel_shuffle:
+        p["Conv_0"] = {"kernel": _k(tsu.up_sample[0].weight), "bias": _b(tsu.up_sample[0].bias)}
+        s_conv_key = "Conv_1"
+        conv1_key, conv2_key = "Conv_2", "Conv_3"
+    else:
+        s_conv_key = "Conv_0"
+        conv1_key, conv2_key = "Conv_1", "Conv_2"
+    p[s_conv_key] = {"kernel": _k(tsu.conv[0].weight), "bias": _b(tsu.conv[0].bias)}
+    p[conv1_key] = {"kernel": _k(tsu.conv1.weight), "bias": _b(tsu.conv1.bias)}
+    p[conv2_key] = {"kernel": _k(tsu.conv2.weight), "bias": _b(tsu.conv2.bias)}
+    p["StyledDenorm_0"] = styled_denorm_params(tsu.norm1)
+    p["StyledDenorm_1"] = styled_denorm_params(tsu.norm2)
+    return p
+
+
+def unet_encoder_params(tenc):
+    """Transplant the reference UNetEncoder's feature-extraction weights."""
+    params = {}
+    for i in range(4):
+        params[f"ResBlock_{i}"] = res_block_params(getattr(tenc, f"down_conv1_{i+1}"))
+    params["DoubleConv_0"] = double_conv_params(tenc.double_conv1)
+    for j, name in enumerate(["up_conv1_4", "up_conv1_3", "up_conv1_2", "up_conv1_1"]):
+        params[f"UpBlock_{j}"] = up_block_params(getattr(tenc, name))
+    return params
+
+
+def unet_decoder_params(tdec, use_pixel_shuffle=False):
+    """Transplant the reference UNetDecoder's weights."""
+    params = {}
+    for i in range(4):
+        params[f"ResBlock_{i}"] = res_block_params(getattr(tdec, f"down_conv2_{i+1}"))
+    params["DoubleConv_0"] = double_conv_params(tdec.double_conv2)
+    for j, name in enumerate(["up_conv2_4", "up_conv2_3", "up_conv2_2", "up_conv2_1"]):
+        params[f"StyledResUpBlock_{j}"] = styled_up_params(
+            getattr(tdec, name), use_pixel_shuffle
+        )
+    aspp = {}
+    for i, stage in enumerate(tdec.conv_last[0].stages.children()):
+        aspp[f"Conv_{i}"] = {"kernel": _k(stage.conv.weight)}
+    params["ASPP_0"] = aspp
+    params["DoubleConv_1"] = double_conv_params(tdec.conv_last[1])
+    params["Conv_0"] = {"kernel": _k(tdec.conv1x1.weight), "bias": _b(tdec.conv1x1.bias)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# BigGAN / spectral-norm discriminators
+# ---------------------------------------------------------------------------
+#
+# Spectral-norm u-vector mapping (proof): torch views the weight as
+# W_t = (O, N) and stores u (1,O) [BigGAN SN, `biggan/layers.py:55-94`] /
+# u (O,) [torch.nn.utils.spectral_norm]; flax SpectralNorm reshapes the HWIO
+# kernel to W_f = (N', O) with u (1,O). W_f equals W_t^T with permuted rows, so
+# v transforms consistently with that permutation inside each iteration while
+# u and sigma are permutation-invariant: copying torch's u into flax's u makes
+# every train-mode forward (1 power iteration + normalize) numerically
+# identical.
+
+
+def sn_conv_params(tconv):
+    """Reference SNConv2d → our SNConv {params, batch_stats}."""
+    p = {"Conv_0": {"kernel": _k(tconv.weight)}}
+    if tconv.bias is not None:
+        p["Conv_0"]["bias"] = _b(tconv.bias)
+    bs = {
+        "SpectralNorm_0": {
+            "Conv_0/kernel/u": jnp.asarray(_np(tconv.u0)),
+            "Conv_0/kernel/sigma": jnp.asarray(_np(tconv.sv0)[0]),
+        }
+    }
+    return p, bs
+
+
+def sn_dense_params(tlin):
+    p = {"Dense_0": {"kernel": _lin(tlin.weight)}}
+    if tlin.bias is not None:
+        p["Dense_0"]["bias"] = _b(tlin.bias)
+    bs = {
+        "SpectralNorm_0": {
+            "Dense_0/kernel/u": jnp.asarray(_np(tlin.u0)),
+            "Dense_0/kernel/sigma": jnp.asarray(_np(tlin.sv0)[0]),
+        }
+    }
+    return p, bs
+
+
+def dblock_params(tdb):
+    p, bs = {}, {}
+    p["SNConv_0"], bs["SNConv_0"] = sn_conv_params(tdb.conv1)
+    p["SNConv_1"], bs["SNConv_1"] = sn_conv_params(tdb.conv2)
+    if tdb.learnable_sc:
+        p["SNConv_2"], bs["SNConv_2"] = sn_conv_params(tdb.conv_sc)
+    return p, bs
+
+
+def gblock2_params(tgb):
+    p, bs = {}, {}
+    p["SNConv_0"], bs["SNConv_0"] = sn_conv_params(tgb.conv1)
+    p["SNConv_1"], bs["SNConv_1"] = sn_conv_params(tgb.conv2)
+    if tgb.learnable_sc:
+        p["SNConv_2"], bs["SNConv_2"] = sn_conv_params(tgb.conv_sc)
+    return p, bs
+
+
+def attention_params(tattn):
+    p, bs = {}, {}
+    for i, name in enumerate(["theta", "phi", "g", "o"]):
+        p[f"SNConv_{i}"], bs[f"SNConv_{i}"] = sn_conv_params(getattr(tattn, name))
+    p["gamma"] = jnp.asarray(_np(tattn.gamma))
+    return p, bs
+
+
+def unet_discriminator_params(tdis):
+    """Reference Unet_Discriminator → our UNetDiscriminator variables.
+
+    Walks `tdis.blocks` (spec: `unet_discriminator.py:449-489` construction,
+    `:544-630` forward): DBlocks on the down path, GBlock2s on the up path,
+    optional Attention attached to a down blocklist, plus `linear_middle`
+    (bottleneck) and the final plain 1×1 conv.
+    """
+    import torch
+
+    params, stats = {}, {}
+    n_d = n_g = n_a = 0
+    for blocklist in list(tdis.blocks)[:-1]:
+        for block in blocklist:
+            cls = type(block).__name__
+            if cls == "DBlock":
+                params[f"DBlock_{n_d}"], stats[f"DBlock_{n_d}"] = dblock_params(block)
+                n_d += 1
+            elif cls == "GBlock2":
+                params[f"GBlock2_{n_g}"], stats[f"GBlock2_{n_g}"] = gblock2_params(block)
+                n_g += 1
+            elif cls == "Attention":
+                params[f"Attention_{n_a}"], stats[f"Attention_{n_a}"] = attention_params(block)
+                n_a += 1
+            else:  # pragma: no cover
+                raise AssertionError(cls)
+    last = tdis.blocks[-1]
+    assert isinstance(last, torch.nn.Conv2d)
+    params["Conv_0"] = {"kernel": _k(last.weight), "bias": _b(last.bias)}
+    params["SNDense_0"], stats["SNDense_0"] = sn_dense_params(tdis.linear_middle)
+    return {"params": params, "batch_stats": stats}
+
+
+def nlayer_discriminator_params(tdis, normalization: str, spectral: bool, train: bool):
+    """Reference NLayerDiscriminator (+optional torch spectral_norm) → ours.
+
+    Layer order (spec `discriminator.py:54-82`): Conv, LReLU, then
+    (n_layers-1 + 1) × [Conv, Norm, LReLU], final Conv.
+    """
+    import torch
+
+    params, stats, actnorm = {}, {}, {}
+    n_conv = n_norm = 0
+    for m in tdis.main:
+        if isinstance(m, torch.nn.Conv2d):
+            if spectral:
+                p = {"kernel": _k(m.weight_orig)}
+                if m.bias is not None:
+                    p["bias"] = _b(m.bias)
+                params[f"Conv_{n_conv}"] = p
+                stats[f"SpectralNorm_{n_conv}"] = {
+                    f"Conv_{n_conv}/kernel/u": jnp.asarray(
+                        _np(m.weight_u)[None, :]
+                    ),
+                    f"Conv_{n_conv}/kernel/sigma": jnp.ones(()),
+                }
+            else:
+                p = {"kernel": _k(m.weight)}
+                if m.bias is not None:
+                    p["bias"] = _b(m.bias)
+                params[f"Conv_{n_conv}"] = p
+            n_conv += 1
+        elif isinstance(m, torch.nn.BatchNorm2d):
+            params[f"BatchNorm_{n_norm}"] = {
+                "scale": _b(m.weight),
+                "bias": _b(m.bias),
+            }
+            stats[f"BatchNorm_{n_norm}"] = {
+                "mean": jnp.asarray(_np(m.running_mean)),
+                "var": jnp.asarray(_np(m.running_var)),
+            }
+            n_norm += 1
+        elif type(m).__name__ == "ActNorm":
+            c = m.loc.numel()
+            params[f"ActNorm_{n_norm}"] = {
+                "loc": _b(m.loc.squeeze()),
+                "scale": _b(m.scale.squeeze()),
+            }
+            actnorm[f"ActNorm_{n_norm}"] = {
+                "initialized": jnp.ones((), jnp.bool_),
+                "data_loc": jnp.zeros((c,)),
+                "data_scale": jnp.ones((c,)),
+            }
+            n_norm += 1
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    if actnorm:
+        out["actnorm"] = actnorm
+    return out

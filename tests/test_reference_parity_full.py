@@ -1,24 +1,28 @@
 """FULL-network parity: our UNetEncoder/UNetDecoder vs the reference's own
 torch modules with transplanted weights.
 
-The reference package is imported read-only with stub modules for its missing
-deps (utils/kmeans_pytorch — SURVEY.md notes its requirements drift); a fake
-'networks' package skips its __init__ (which pulls kornia). Weight transplant
-is mechanical OIHW→HWIO; outputs must match to f32 tolerance — this is the
-evidence base for "bit-comparable reconstructions" (BASELINE.json).
+Transplant machinery lives in parity_helpers (shared with test_gan_parity);
+outputs must match to f32 tolerance — this is the evidence base for
+"bit-comparable reconstructions" (BASELINE.json).
 """
 
-import importlib
 import os
-import sys
-import types
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-REF_SRC = "/root/reference/src"
+import parity_helpers as ph
+from parity_helpers import (
+    REF_SRC,
+    double_conv_params as _double_conv_params,
+    res_block_params as _res_block_params,
+    styled_up_params,
+    up_block_params as _up_block_params,
+    _b,
+    _k,
+)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_SRC), reason="reference checkout not available"
@@ -28,75 +32,13 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def ref_networks():
     torch = pytest.importorskip("torch")
-    # stub the reference's unimportable deps
-    utils_stub = types.ModuleType("utils")
-    utils_stub.get_world_size = lambda: 1
-    utils_stub.is_distributed = lambda: False
-    sys.modules.setdefault("utils", utils_stub)
-    km_stub = types.ModuleType("kmeans_pytorch")
-    km_stub.kmeans = None
-    sys.modules.setdefault("kmeans_pytorch", km_stub)
-    # fake package so `networks.<sub>` imports skip networks/__init__ (kornia)
-    pkg = types.ModuleType("networks")
-    pkg.__path__ = [os.path.join(REF_SRC, "networks")]
-    sys.modules["networks"] = pkg
-    unet_encoder = importlib.import_module("networks.unet_encoder")
-    unet_decoder = importlib.import_module("networks.unet_decoder")
+    unet_encoder = ph.import_ref_module("unet_encoder")
+    unet_decoder = ph.import_ref_module("unet_decoder")
     return unet_encoder, unet_decoder, torch
 
 
-def _k(w):  # OIHW → HWIO
-    return jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0))
-
-
-def _b(b):
-    return jnp.asarray(b.detach().numpy())
-
-
-def _double_conv_params(tdc):
-    import torch
-
-    convs = [m for m in tdc.double_conv if isinstance(m, torch.nn.Conv2d)]
-    return {
-        "Conv_0": {"kernel": _k(convs[0].weight), "bias": _b(convs[0].bias)},
-        "Conv_1": {"kernel": _k(convs[1].weight), "bias": _b(convs[1].bias)},
-    }
-
-
-def _res_block_params(trb):
-    return {
-        "Conv_0": {"kernel": _k(trb.downsample[0].weight)},
-        "DoubleConv_0": _double_conv_params(trb.double_conv),
-    }
-
-
-def _up_block_params(tub):
-    return {"DoubleConv_0": _double_conv_params(tub.double_conv)}
-
-
-def _styled_denorm_params(tsd):
-    return {
-        "Conv_0": {"kernel": _k(tsd.mlp_shared[0].weight), "bias": _b(tsd.mlp_shared[0].bias)},
-        "Conv_1": {"kernel": _k(tsd.mlp_gamma.weight), "bias": _b(tsd.mlp_gamma.bias)},
-        "Conv_2": {"kernel": _k(tsd.mlp_beta.weight), "bias": _b(tsd.mlp_beta.bias)},
-    }
-
-
 def _styled_up_params(tsu, use_pixel_shuffle):
-    p = {}
-    if use_pixel_shuffle:
-        p["Conv_0"] = {"kernel": _k(tsu.up_sample[0].weight), "bias": _b(tsu.up_sample[0].bias)}
-        s_conv_key = "Conv_1"
-        conv1_key, conv2_key = "Conv_2", "Conv_3"
-    else:
-        s_conv_key = "Conv_0"
-        conv1_key, conv2_key = "Conv_1", "Conv_2"
-    p[s_conv_key] = {"kernel": _k(tsu.conv[0].weight), "bias": _b(tsu.conv[0].bias)}
-    p[conv1_key] = {"kernel": _k(tsu.conv1.weight), "bias": _b(tsu.conv1.bias)}
-    p[conv2_key] = {"kernel": _k(tsu.conv2.weight), "bias": _b(tsu.conv2.bias)}
-    p["StyledDenorm_0"] = _styled_denorm_params(tsu.norm1)
-    p["StyledDenorm_1"] = _styled_denorm_params(tsu.norm2)
-    return p
+    return styled_up_params(tsu, use_pixel_shuffle)
 
 
 def test_unet_encoder_feature_extraction_parity(ref_networks, rng):
