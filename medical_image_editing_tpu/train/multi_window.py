@@ -384,22 +384,36 @@ def make_joint_step(
 
             l_recon = l_freq = l_percep = l_gen = l_upercep = jnp.float32(0.0)
             de = dis_extra
+            # per-window forward ordering matches the reference exactly
+            # (`multi_window_trainer.py:451-480`): recon losses for both
+            # views, then dis(rec_1), dis(rec_2), then dis(cimg_1),
+            # dis(cimg_2) — the spectral-norm power-iteration sequence is
+            # part of the observable numerics.
             for i, wf in enumerate(fns):
-                for rec, cimg in ((recon_1, clear_1), (recon_2, clear_2)):
-                    r, t = wf(rec), wf(cimg)
+                r1, t1 = wf(recon_1), wf(clear_1)
+                r2, t2 = wf(recon_2), wf(clear_2)
+                for r, t in ((r1, t1), (r2, t2)):
                     if first_cfg.use_recon_loss:
                         l_recon += recon_weights[i] * jnp.mean((r - t) ** 2)
                     if first_cfg.use_frequency_loss:
                         l_freq += freq_weights[i] * focal_frequency_loss(r, t)
                     if first_cfg.use_perceptual_loss and perceptual_fn is not None:
                         l_percep += percep_weights[i] * perceptual_fn(r, t)
-                    (f_map, f_bottle, f_feats), de = _apply(dis, dis_params, de, r, True)
-                    l_gen += -(jnp.mean(f_map) + jnp.mean(f_bottle))
-                    if second_cfg.use_unet_perceptual_loss:
-                        (_, _, r_feats), de = _apply(
-                            dis, dis_params, de, jax.lax.stop_gradient(t), True
-                        )
-                        l_upercep += unet_perceptual_loss(f_feats, r_feats)
+                (f_map_1, f_bottle_1, f_feats_1), de = _apply(dis, dis_params, de, r1, True)
+                (f_map_2, f_bottle_2, f_feats_2), de = _apply(dis, dis_params, de, r2, True)
+                l_gen += -(jnp.mean(f_map_1) + jnp.mean(f_bottle_1)) - (
+                    jnp.mean(f_map_2) + jnp.mean(f_bottle_2)
+                )
+                if second_cfg.use_unet_perceptual_loss:
+                    (_, _, r_feats_1), de = _apply(
+                        dis, dis_params, de, jax.lax.stop_gradient(t1), True
+                    )
+                    (_, _, r_feats_2), de = _apply(
+                        dis, dis_params, de, jax.lax.stop_gradient(t2), True
+                    )
+                    l_upercep += unet_perceptual_loss(
+                        f_feats_1, r_feats_1
+                    ) + unet_perceptual_loss(f_feats_2, r_feats_2)
             l_recon, l_freq, l_percep = l_recon / n, l_freq / n, l_percep / n
             l_gen, l_upercep = l_gen / n, l_upercep / n
 
@@ -454,28 +468,44 @@ def make_joint_step(
             l_dis = l_cutmix = l_cons = jnp.float32(0.0)
             de = de_run
             keys = jax.random.split(k_dis, len(fns))
+            # forward ordering per window matches the reference
+            # (`multi_window_trainer.py:514-560`): dis(cimg_1), dis(cimg_2),
+            # dis(rec_1), dis(rec_2), then the shared-box CutMix composites
+            # dis(cmix_1), dis(cmix_2).
             for i, wf in enumerate(fns):
+                r1, t1 = wf(recon_1), wf(clear_1)
+                r2, t2 = wf(recon_2), wf(clear_2)
+                (r_map_1, r_bottle_1, _), de = _apply(dis, dpp, de, t1, True)
+                (r_map_2, r_bottle_2, _), de = _apply(dis, dpp, de, t2, True)
+                (f_map_1, f_bottle_1, _), de = _apply(dis, dpp, de, r1, True)
+                (f_map_2, f_bottle_2, _), de = _apply(dis, dpp, de, r2, True)
+                l_dis += (
+                    hinge_d_loss(r_map_1, f_map_1)
+                    + hinge_d_loss(r_bottle_1, f_bottle_1)
+                    + hinge_d_loss(r_map_2, f_map_2)
+                    + hinge_d_loss(r_bottle_2, f_bottle_2)
+                )
+
                 k_box, k_inv = jax.random.split(keys[i])
                 coords, _ = cutmix_coordinates(k_box, h, w_)
                 mask2d = 1.0 - cutmix_mask(coords, h, w_)
                 invert = jax.random.uniform(k_inv) > 0.5
                 mask2d = jnp.where(invert, 1.0 - mask2d, mask2d)
                 m = mask2d[None, :, :, None]
-                for rec, cimg in ((recon_1, clear_1), (recon_2, clear_2)):
-                    r, t = wf(rec), wf(cimg)
-                    (r_map, r_bottle, _), de = _apply(dis, dpp, de, t, True)
-                    (f_map, f_bottle, _), de = _apply(dis, dpp, de, r, True)
-                    l_dis += hinge_d_loss(r_map, f_map) + hinge_d_loss(
-                        r_bottle, f_bottle
-                    )
-                    cmix = mask_src_tgt(t, r, mask2d)
-                    (c_map, c_bottle, _), de = _apply(dis, dpp, de, cmix, True)
-                    l_cutmix += jnp.mean(jax.nn.relu(1.0 + c_bottle)) + jnp.mean(
-                        jax.nn.relu(1.0 - (m * 2.0 - 1.0) * c_map)
-                    )
-                    l_cons += jnp.mean(
-                        (c_map - mask_src_tgt(r_map, f_map, mask2d)) ** 2
-                    )
+
+                cmix_1 = mask_src_tgt(t1, r1, mask2d)
+                cmix_2 = mask_src_tgt(t2, r2, mask2d)
+                (c_map_1, c_bottle_1, _), de = _apply(dis, dpp, de, cmix_1, True)
+                (c_map_2, c_bottle_2, _), de = _apply(dis, dpp, de, cmix_2, True)
+                l_cutmix += (
+                    jnp.mean(jax.nn.relu(1.0 + c_bottle_1))
+                    + jnp.mean(jax.nn.relu(1.0 + c_bottle_2))
+                    + jnp.mean(jax.nn.relu(1.0 - (m * 2.0 - 1.0) * c_map_1))
+                    + jnp.mean(jax.nn.relu(1.0 - (m * 2.0 - 1.0) * c_map_2))
+                )
+                l_cons += jnp.mean(
+                    (c_map_1 - mask_src_tgt(r_map_1, f_map_1, mask2d)) ** 2
+                ) + jnp.mean((c_map_2 - mask_src_tgt(r_map_2, f_map_2, mask2d)) ** 2)
             l_dis, l_cutmix, l_cons = l_dis / n, l_cutmix / n, l_cons / n
             total = (
                 second_cfg.w_dis * l_dis

@@ -291,3 +291,114 @@ def nlayer_discriminator_params(tdis, normalization: str, spectral: bool, train:
     if actnorm:
         out["actnorm"] = actnorm
     return out
+
+
+# ---------------------------------------------------------------------------
+# VQGAN (taming-style autoencoder) — spec `src/networks/vqgan.py`
+# ---------------------------------------------------------------------------
+
+
+def _conv(c):
+    p = {"kernel": _k(c.weight)}
+    if c.bias is not None:
+        p["bias"] = _b(c.bias)
+    return p
+
+
+def _gn(g):
+    return {"scale": _b(g.weight), "bias": _b(g.bias)}
+
+
+def vqgan_resnet_block_params(trb):
+    p = {
+        "GroupNorm_0": _gn(trb.norm1),
+        "Conv_0": _conv(trb.conv1),
+        "GroupNorm_1": _gn(trb.norm2),
+        "Conv_1": _conv(trb.conv2),
+    }
+    if hasattr(trb, "nin_shortcut"):
+        p["Conv_2"] = _conv(trb.nin_shortcut)
+    elif hasattr(trb, "conv_shortcut"):
+        p["Conv_2"] = _conv(trb.conv_shortcut)
+    return p
+
+
+def vqgan_attn_block_params(tab):
+    return {
+        "GroupNorm_0": _gn(tab.norm),
+        "Conv_0": _conv(tab.q),
+        "Conv_1": _conv(tab.k),
+        "Conv_2": _conv(tab.v),
+        "Conv_3": _conv(tab.proj_out),
+    }
+
+
+def vqgan_encoder_params(tenc):
+    """Reference taming Encoder → our VQGANEncoder params, replicating the
+    call-order naming of the compact module (conv_in, per-level blocks/attn/
+    downsample, mid, norm_out, conv_out — `vqgan.py:183-281`)."""
+    p = {"Conv_0": _conv(tenc.conv_in)}
+    n_rb = n_at = n_ds = 0
+    n_levels = len(tenc.down)
+    for i_level in range(n_levels):
+        down = tenc.down[i_level]
+        for i_block, blk in enumerate(down.block):
+            p[f"ResnetBlock_{n_rb}"] = vqgan_resnet_block_params(blk)
+            n_rb += 1
+            if len(down.attn) > 0:
+                p[f"AttnBlock_{n_at}"] = vqgan_attn_block_params(down.attn[i_block])
+                n_at += 1
+        if i_level != n_levels - 1:
+            p[f"Downsample_{n_ds}"] = {"Conv_0": _conv(down.downsample.conv)}
+            n_ds += 1
+    p[f"ResnetBlock_{n_rb}"] = vqgan_resnet_block_params(tenc.mid.block_1)
+    p[f"AttnBlock_{n_at}"] = vqgan_attn_block_params(tenc.mid.attn_1)
+    p[f"ResnetBlock_{n_rb + 1}"] = vqgan_resnet_block_params(tenc.mid.block_2)
+    p["GroupNorm_0"] = _gn(tenc.norm_out)
+    p["Conv_1"] = _conv(tenc.conv_out)
+    return p
+
+
+def vqgan_decoder_params(tdec):
+    """Reference taming Decoder → our VQGANDecoder params (`vqgan.py:284-380`)."""
+    p = {"Conv_0": _conv(tdec.conv_in)}
+    p["ResnetBlock_0"] = vqgan_resnet_block_params(tdec.mid.block_1)
+    p["AttnBlock_0"] = vqgan_attn_block_params(tdec.mid.attn_1)
+    p["ResnetBlock_1"] = vqgan_resnet_block_params(tdec.mid.block_2)
+    n_rb, n_at, n_us = 2, 1, 0
+    n_levels = len(tdec.up)
+    for i_level in reversed(range(n_levels)):
+        up = tdec.up[i_level]
+        for i_block, blk in enumerate(up.block):
+            p[f"ResnetBlock_{n_rb}"] = vqgan_resnet_block_params(blk)
+            n_rb += 1
+            if len(up.attn) > 0:
+                p[f"AttnBlock_{n_at}"] = vqgan_attn_block_params(up.attn[i_block])
+                n_at += 1
+        if i_level != 0:
+            p[f"Upsample_{n_us}"] = {"Conv_0": _conv(up.upsample.conv)}
+            n_us += 1
+    p["GroupNorm_0"] = _gn(tdec.norm_out)
+    p["Conv_1"] = _conv(tdec.conv_out)
+    return p
+
+
+def set_torch_vq_buffers(tvq, vq_state):
+    """Copy our VQState into a reference VQModule's buffers
+    (`vq_module.py:154-157`; embed_avg is stored (C,K) there, (K,C) here)."""
+    import numpy as np
+    import torch
+
+    tvq.embed.copy_(torch.from_numpy(np.asarray(vq_state.embed)))
+    tvq.cluster_size.copy_(torch.from_numpy(np.asarray(vq_state.cluster_size)))
+    tvq.embed_avg.copy_(torch.from_numpy(np.asarray(vq_state.embed_avg).T))
+
+
+def import_ref_functions_module(name: str):
+    """Import `functions.<name>` from the reference, skipping the package
+    __init__ (which imports the missing `lpips` dependency)."""
+    if "functions" not in sys.modules:
+        pkg = types.ModuleType("functions")
+        pkg.__path__ = [os.path.join(REF_SRC, "functions")]
+        sys.modules["functions"] = pkg
+    return importlib.import_module(f"functions.{name}")

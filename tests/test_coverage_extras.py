@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_validation_snapshot_lung_path(tmp_path, rng):
     from medical_image_editing_tpu.models import UNetDecoder
     from medical_image_editing_tpu.models.unet_encoder import EncoderWithVQ
@@ -71,6 +72,7 @@ def test_warp_ids_list_helpers(rng):
     np.testing.assert_array_equal(np.asarray(back).astype(np.int32), np.asarray(ids))
 
 
+@pytest.mark.slow
 def test_mingpt_n_unmasked_prefix(rng):
     from medical_image_editing_tpu.models import GPT, GPTConfig
 

@@ -41,6 +41,7 @@ def test_actnorm_data_dependent_init(rng):
 
 
 @pytest.mark.parametrize("normalization", ["instancenorm", "batchnorm", "actnorm"])
+@pytest.mark.slow
 def test_nlayer_discriminator_norms(rng, normalization):
     m = NLayerDiscriminator(n_filters=8, n_layers=3, normalization=normalization)
     x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
@@ -60,6 +61,7 @@ def test_nlayer_discriminator_spectral_norm(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dblock_gblock_shapes(rng):
     x = jnp.asarray(rng.normal(size=(1, 16, 16, 8)).astype(np.float32))
     db = DBlock(16, downsample=True, preactivation=True)
@@ -82,6 +84,7 @@ def test_attention_block(rng):
 
 
 @pytest.mark.parametrize("resolution", [128, 256])
+@pytest.mark.slow
 def test_unet_discriminator_outputs(rng, resolution):
     # tiny width to keep the test fast; spatial = resolution required by arch
     m = UNetDiscriminator(D_ch=4, resolution=resolution, D_attn="0")

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medical_image_editing_tpu.cli.edit_batch import edit_study, make_batched_edit_fn
 from medical_image_editing_tpu.models import UNetDecoder
@@ -25,6 +26,7 @@ def _setup():
     return dec, {"dec_vars": dec_vars, "vq": vq}
 
 
+@pytest.mark.slow
 def test_batched_edit_matches_per_slice(rng):
     dec, s = _setup()
     edit = make_batched_edit_fn(dec)
@@ -58,6 +60,7 @@ def test_edit_study_pipeline(tmp_path, rng):
     assert np.isfinite(rec).all()
 
 
+@pytest.mark.slow
 def test_batched_edit_data_parallel(rng):
     from medical_image_editing_tpu.parallel import create_mesh
 

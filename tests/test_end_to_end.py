@@ -91,6 +91,7 @@ def crc_env(tmp_path):
     return tmp_path, cfg_path, cfg
 
 
+@pytest.mark.slow
 def test_cli_train_first_stage(crc_env):
     tmp_path, cfg_path, cfg = crc_env
     from medical_image_editing_tpu.cli.run_vqwnet import main
@@ -142,6 +143,7 @@ def test_trainer_inference_mode_exports(crc_env):
     assert any(f.startswith("label_") and f.endswith(".png") for f in files)
 
 
+@pytest.mark.slow
 def test_run_recon_edit_loop(tmp_path, rng):
     """Edit-server round trip: painted id map → decode → PNG outputs."""
     from medical_image_editing_tpu.cli import run_recon as rr
@@ -181,6 +183,7 @@ def test_run_recon_edit_loop(tmp_path, rng):
     np.testing.assert_allclose(recon, recon2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fit_resume_from_checkpoint(crc_env):
     """Checkpoint → resume continues at the saved epoch with identical state
     (SURVEY.md §5 checkpoint/resume capability)."""
@@ -212,6 +215,7 @@ def test_fit_resume_from_checkpoint(crc_env):
     assert int(jax.device_get(state2.step)) > int(jax.device_get(state.step)) - 1
 
 
+@pytest.mark.slow
 def test_fit_max_steps_mid_epoch_keeps_epoch(crc_env):
     """A max_steps break mid-epoch must NOT advance the epoch counter —
     resuming would otherwise skip the rest of that epoch's data (VERDICT r1
@@ -268,6 +272,7 @@ def test_test_step_non_crc_export(tmp_path, rng):
             "fused_0000.png"} <= set(files)
 
 
+@pytest.mark.slow
 def test_cli_train_multiwindow_flag(crc_env):
     """-w flavor through the CLI: multi-window first_step trains."""
     tmp_path, cfg_path, cfg = crc_env

@@ -155,6 +155,7 @@ def _build_torch_unet_dis(ref_unet_dis, d_ch=8, resolution=128, in_channels=3):
     return tdis
 
 
+@pytest.mark.slow
 def test_unet_discriminator_parity(ref_unet_dis, rng):
     from medical_image_editing_tpu.models import UNetDiscriminator
 
@@ -205,6 +206,7 @@ def test_unet_discriminator_attention_is_used(ref_unet_dis):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_second_stage_unet_dis_loss_values(ref_unet_dis, rng):
     """Run our real `make_second_stage_step` once and pin every loss metric
     against the reference math (`single_window_trainer.py:264-432`) executed in
@@ -344,3 +346,332 @@ def test_second_stage_unet_dis_loss_values(ref_unet_dis, rng):
         gen_total + l_dis + 0.5 * l_cutmix + 0.25 * l_consistency,
         **tol,
     )
+
+
+# ---------------------------------------------------------------------------
+# VQGAN autoencoder parity (network-level; the adversarial composition is the
+# same code path already pinned above via make_second_stage_step's structure)
+# ---------------------------------------------------------------------------
+
+
+def test_vqgan_forward_parity(rng):
+    """Transplanted taming-style VQGAN: (recon, commit, ids, emb) must match
+    the reference `VQGAN.forward` (`vqgan.py:435-439`) in train mode,
+    including the VQ EMA buffer update."""
+    ref_vqgan = ph.import_ref_module("vqgan")
+    from medical_image_editing_tpu.models.vqgan import VQGAN
+    from medical_image_editing_tpu.ops.vq import VQState
+
+    torch.manual_seed(0)
+    # all widths divisible by 32: torch GroupNorm(32, C) requires it
+    tv = ref_vqgan.VQGAN(
+        in_channels=1, mid_channels=32, out_channels=1, emb_dim=32,
+        dict_size=8, enc_ch_multiplier=[1, 2], dec_ch_multiplier=[1, 2],
+        num_res_blocks=1, enc_attn_resolutions=[8], dec_attn_resolutions=[8],
+        resolution=16, p_dropout=0.0,
+    ).train()
+
+    jv = VQGAN(
+        in_channels=1, mid_channels=32, out_channels=1, emb_dim=32,
+        dict_size=8, enc_ch_multiplier=(1, 2), dec_ch_multiplier=(1, 2),
+        num_res_blocks=1, enc_attn_resolutions=(8,), dec_attn_resolutions=(8,),
+        resolution=16, vq_momentum=0.99,
+    )
+    params = {
+        "encoder": ph.vqgan_encoder_params(tv.encoder),
+        "decoder": ph.vqgan_decoder_params(tv.decoder),
+    }
+    k = jax.random.key(0)
+    vq0 = VQState(
+        embed=jax.random.normal(k, (8, 32)),
+        cluster_size=jnp.zeros((8,)),
+        embed_avg=jax.random.normal(k, (8, 32)),
+    )
+    with torch.no_grad():
+        ph.set_torch_vq_buffers(tv.vq, vq0)
+
+    x = rng.normal(size=(2, 16, 16, 1)).astype(np.float32)
+    with torch.no_grad():
+        recon_t, commit_t, ids_t, emb_t = tv(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    recon_j, commit_j, ids_j, emb_j, vq1 = jv.apply(
+        {"params": params}, jnp.asarray(x), vq0, True
+    )
+    # the reference's ids come out H<->W transposed (`vq_module.py:172,178` —
+    # the quirk UNetEncoder undoes at `unet_encoder.py:115` but VQGAN never
+    # does); its quantized embedding is correctly oriented (double transpose).
+    np.testing.assert_array_equal(
+        np.asarray(ids_j), ids_t.numpy().transpose(0, 2, 1)
+    )
+    np.testing.assert_allclose(float(commit_j), commit_t.item(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(emb_j), emb_t.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(recon_j), recon_t.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4
+    )
+    # EMA buffers advanced identically (embed_avg is (C,K) in the reference)
+    np.testing.assert_allclose(
+        np.asarray(vq1.embed), tv.vq.embed.numpy(), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(vq1.embed_avg), tv.vq.embed_avg.numpy().T, rtol=1e-4, atol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full multi-window joint step (golden values)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_multi_window_joint_step_loss_values(ref_unet_dis, rng):
+    """Run our real `make_joint_step` once (full transplanted encoder+VQ,
+    decoder, UNetDiscriminator) and pin every loss metric against the
+    reference math (`multi_window_trainer.py:394-677`) executed in torch with
+    the same augmented views, warped id maps, and CutMix boxes."""
+    import optax
+
+    import torch.nn.functional as F
+
+    from medical_image_editing_tpu.models import UNetDecoder, UNetDiscriminator
+    from medical_image_editing_tpu.models.unet_encoder import EncoderWithVQ
+    from medical_image_editing_tpu.ops.augment import (
+        cross_view_transform,
+        random_transform,
+    )
+    from medical_image_editing_tpu.ops.cutmix import cutmix_coordinates, cutmix_mask
+    from medical_image_editing_tpu.ops.vq import VQState
+    from medical_image_editing_tpu.ops.windowing import denorm, norm
+    from medical_image_editing_tpu.train.first_stage import FirstStageLossConfig
+    from medical_image_editing_tpu.train.multi_window import make_joint_step, window_fns
+    from medical_image_editing_tpu.train.second_stage import SecondStageLossConfig
+    from medical_image_editing_tpu.train.state import TrainState
+    from medical_image_editing_tpu.ops.losses import focal_frequency_loss
+
+    ref_enc_mod = ph.import_ref_module("unet_encoder")
+    ref_dec_mod = ph.import_ref_module("unet_decoder")
+    ref_embed_loss = ph.import_ref_functions_module("embed_loss")
+
+    B, S = 1, 128
+    K, C_EMB = 6, 4
+    FILTERS = [4, 8, 16, 32, 64]
+    DSW = (1500.0, -550.0, 2.0)
+    AUG = {
+        "modules": ["RandomHorizontalFlip", "RandomAffine"],
+        "RandomHorizontalFlip": {"p": 0.5},
+        "RandomAffine": {"degrees": 5.0, "translate": [0.02, 0.02], "p": 1.0},
+    }
+    RW, FW, PW = (1.0, 0.5, 0.25), (0.5, 0.25, 0.125), (0.0, 0.0, 0.0)
+
+    torch.manual_seed(0)
+    tenc = ref_enc_mod.UNetEncoder(
+        in_channels=1, filters=FILTERS, dict_size=K, momentum=0.99,
+        knn_backend="torch", init_embed=True,
+    ).train()
+    tdec = ref_dec_mod.UNetDecoder(
+        in_channels=C_EMB, out_channels=1, filters=FILTERS,
+        use_dropblock=False, dropped_skip_layers=[],
+        use_styled_up_block=True, use_pixel_shuffle=False,
+    ).train()
+    tdis = _build_torch_unet_dis(ref_unet_dis, d_ch=8, resolution=S, in_channels=1)
+    tdis.train()
+
+    # shared codebook start state
+    kvq = jax.random.key(5)
+    vq0 = VQState(
+        embed=jax.random.normal(kvq, (K, C_EMB)),
+        cluster_size=jnp.zeros((K,)),
+        embed_avg=jax.random.normal(jax.random.fold_in(kvq, 1), (K, C_EMB)),
+    )
+    with torch.no_grad():
+        ph.set_torch_vq_buffers(tenc.vq, vq0)
+
+    # --- our step --------------------------------------------------------
+    enc = EncoderWithVQ(filters=tuple(FILTERS), dict_size=K, momentum=0.99)
+    dec = UNetDecoder(
+        out_channels=1, filters=tuple(FILTERS), dropped_skip_layers=(),
+        use_pixel_shuffle=False,
+    )
+    dis = UNetDiscriminator(D_ch=8, resolution=S)
+
+    image = rng.uniform(-0.6, 0.6, (B, S, S, 1)).astype(np.float32)
+    q_sample = jnp.zeros((B, S, S, C_EMB))
+
+    dec_init = dec.init(
+        {"params": jax.random.key(0), "dropblock": jax.random.key(1)},
+        q_sample, train=False,
+    )
+    enc_vars = {"params": ph.unet_encoder_params(tenc)}
+    dec_vars = {
+        "params": ph.unet_decoder_params(tdec),
+        "batch_stats": dec_init["batch_stats"],
+    }
+    dis_vars = ph.unet_discriminator_params(tdis)
+
+    first_cfg = FirstStageLossConfig(
+        w_commit=1.0, w_cross=0.5, w_dist=0.25, w_reg=0.125,
+        w_recon=1.0, w_freq=0.5, margin=0.7,
+    )
+    second_cfg = SecondStageLossConfig(
+        w_gen=0.25, w_unet_perceptual=0.125, w_dis=1.0, w_cutmix=0.5,
+        w_consistency=0.25, use_unet_perceptual_loss=True,
+    )
+    tx = optax.sgd(0.0)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
+        rng=jax.random.key(7),
+        enc_vars=enc_vars, dec_vars=dec_vars, dis_vars=dis_vars,
+        vq=vq0, enc_opt=tx.init(enc_vars["params"]),
+        dec_opt=tx.init(dec_vars["params"]), dis_opt=tx.init(dis_vars["params"]),
+    )
+    step = make_joint_step(
+        enc, dec, dis, tx, tx, tx,
+        first_cfg=first_cfg, second_cfg=second_cfg, aug_cfg=AUG, dict_size=K,
+        dataset_window=DSW, recon_weights=RW, freq_weights=FW, percep_weights=PW,
+    )
+    _, metrics = jax.jit(step)(state, jnp.asarray(image))
+    metrics = {k2: float(v) for k2, v in metrics.items()}
+
+    # --- reproduce the step's internal randomness -------------------------
+    _, k1, k2, _, _, k_dis = jax.random.split(jax.random.key(7), 6)
+    image01 = denorm(jnp.asarray(image), 0.0, 1.0)
+    noised_1, clear_1, mats_1 = random_transform(k1, image01, AUG)
+    noised_2, clear_2, mats_2 = random_transform(k2, image01, AUG)
+    noised_1, noised_2 = norm(noised_1), norm(noised_2)
+    clear_1, clear_2 = norm(clear_1), norm(clear_2)
+
+    masks = []
+    for kk in jax.random.split(k_dis, 3):
+        k_box, k_inv = jax.random.split(kk)
+        coords, _ = cutmix_coordinates(k_box, S, S)
+        m2 = 1.0 - cutmix_mask(coords, S, S)
+        if bool(jax.random.uniform(k_inv) > 0.5):
+            m2 = 1.0 - m2
+        masks.append(torch.from_numpy(np.array(m2))[None, None, :, :])
+
+    def to_t(a):  # NHWC jax -> NCHW torch
+        return torch.from_numpy(np.array(a)).permute(0, 3, 1, 2)
+
+    # --- reference math in torch (`multi_window_trainer.py:394-677`) ------
+    with torch.no_grad():
+        emb_1, commit_1, ids_1t = tenc(to_t(noised_1))
+        emb_2, commit_2, ids_2t = tenc(to_t(noised_2))
+        l_commit = (commit_1 + commit_2).item()
+
+        # id warps: our op applied to torch's own ids (invertibility/kornia
+        # parity of the warp itself is covered in test_warp_augment)
+        ids_1 = jnp.asarray(ids_1t.numpy())
+        ids_2 = jnp.asarray(ids_2t.numpy())
+        r_ids_1 = np.array(cross_view_transform(ids_1, mats_1, mats_2))
+        r_ids_2 = np.array(cross_view_transform(ids_2, mats_2, mats_1))
+        r_oh_1 = (
+            F.one_hot(torch.from_numpy(r_ids_1).long(), K + 1)
+            .permute(0, 3, 1, 2)[:, 1:]
+            .float()
+        )
+        r_oh_2 = (
+            F.one_hot(torch.from_numpy(r_ids_2).long(), K + 1)
+            .permute(0, 3, 1, 2)[:, 1:]
+            .float()
+        )
+        embed_loss_t = ref_embed_loss.EmbeddingLoss(
+            dict_size=K, margin=0.7, use_distance_loss=True,
+            use_regularization_loss=True,
+        )
+        l_cross_t, l_dist_t, l_reg_t = embed_loss_t(
+            emb_1, r_oh_1, emb_2, r_oh_2, tenc.vq.get_codebook()
+        )
+
+        recon_1t = tdec(emb_1)
+        recon_2t = tdec(emb_2)
+
+        def to_window_t(x, w, c, s):
+            # denormalize(dataset) then t_normalize(target), `base.py:290-314`
+            dvmax, dvmin = DSW[1] + DSW[0] // 2, DSW[1] - DSW[0] // 2
+            hu = (x / DSW[2] + 0.5) * (dvmax - dvmin) + dvmin
+            vmax, vmin = c + w // 2, c - w // 2
+            return ((hu - vmin) / (vmax - vmin) - 0.5) * s
+
+        def wfns_t(x):
+            return [
+                x,
+                to_window_t(x, 1500, -550, 2.0),
+                to_window_t(x, 400, 20, 2.0),
+            ]
+
+        recons_1 = wfns_t(recon_1t)
+        recons_2 = wfns_t(recon_2t)
+        images_1 = wfns_t(to_t(clear_1))
+        images_2 = wfns_t(to_t(clear_2))
+
+        l_recon = l_freq = l_gen = l_upercep = 0.0
+        for i in range(3):
+            r1, t1 = recons_1[i], images_1[i]
+            r2, t2 = recons_2[i], images_2[i]
+            l_recon += RW[i] * (F.mse_loss(r1, t1) + F.mse_loss(r2, t2)).item()
+            for r, t in ((r1, t1), (r2, t2)):
+                l_freq += FW[i] * float(
+                    focal_frequency_loss(
+                        jnp.asarray(r.numpy().transpose(0, 2, 3, 1)),
+                        jnp.asarray(t.numpy().transpose(0, 2, 3, 1)),
+                    )
+                )
+            f_map_1, f_bottle_1, f_feats_1 = tdis(r1)
+            f_map_2, f_bottle_2, f_feats_2 = tdis(r2)
+            l_gen += (
+                -(f_map_1.mean() + f_bottle_1.mean())
+                - (f_map_2.mean() + f_bottle_2.mean())
+            ).item()
+            _, _, rf_1 = tdis(t1)
+            _, _, rf_2 = tdis(t2)
+            l_upercep += sum(
+                F.mse_loss(a, b).item() for a, b in zip(f_feats_1, rf_1)
+            ) + sum(F.mse_loss(a, b).item() for a, b in zip(f_feats_2, rf_2))
+        l_recon, l_freq = l_recon / 3, l_freq / 3
+        l_gen, l_upercep = l_gen / 3, l_upercep / 3
+
+        l_dis = l_cutmix = l_cons = 0.0
+        for i in range(3):
+            r1, t1 = recons_1[i], images_1[i]
+            r2, t2 = recons_2[i], images_2[i]
+            m = masks[i]
+            r_map_1, r_b_1, _ = tdis(t1)
+            r_map_2, r_b_2, _ = tdis(t2)
+            f_map_1, f_b_1, _ = tdis(r1)
+            f_map_2, f_b_2, _ = tdis(r2)
+
+            def hinge(rl, fl):
+                return 0.5 * (F.relu(1.0 - rl).mean() + F.relu(1.0 + fl).mean())
+
+            l_dis += (
+                hinge(r_map_1, f_map_1) + hinge(r_b_1, f_b_1)
+                + hinge(r_map_2, f_map_2) + hinge(r_b_2, f_b_2)
+            ).item()
+            c1 = t1 * m + (1 - m) * r1
+            c2 = t2 * m + (1 - m) * r2
+            c_map_1, c_b_1, _ = tdis(c1)
+            c_map_2, c_b_2, _ = tdis(c2)
+            l_cutmix += (
+                F.relu(1.0 + c_b_1).mean() + F.relu(1.0 + c_b_2).mean()
+                + F.relu(1.0 - (m * 2 - 1) * c_map_1).mean()
+                + F.relu(1.0 - (m * 2 - 1) * c_map_2).mean()
+            ).item()
+            l_cons += (
+                F.mse_loss(c_map_1, r_map_1 * m + (1 - m) * f_map_1)
+                + F.mse_loss(c_map_2, r_map_2 * m + (1 - m) * f_map_2)
+            ).item()
+        l_dis, l_cutmix, l_cons = l_dis / 3, l_cutmix / 3, l_cons / 3
+
+    tol = dict(rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(metrics["commit"], 1.0 * l_commit, **tol)
+    np.testing.assert_allclose(metrics["cross"], 0.5 * float(l_cross_t), **tol)
+    np.testing.assert_allclose(metrics["dist"], 0.25 * float(l_dist_t), **tol)
+    np.testing.assert_allclose(metrics["reg"], 0.125 * float(l_reg_t), **tol)
+    np.testing.assert_allclose(metrics["recon"], 1.0 * l_recon, **tol)
+    np.testing.assert_allclose(metrics["freq"], 0.5 * l_freq, **tol)
+    np.testing.assert_allclose(metrics["gen"], 0.25 * l_gen, **tol)
+    np.testing.assert_allclose(metrics["unet_perceptual"], 0.125 * l_upercep, **tol)
+    np.testing.assert_allclose(metrics["dis"], 1.0 * l_dis, **tol)
+    np.testing.assert_allclose(metrics["cutmix"], 0.5 * l_cutmix, **tol)
+    np.testing.assert_allclose(metrics["consistency"], 0.25 * l_cons, **tol)

@@ -38,6 +38,7 @@ def test_learning_dynamics_long():
          filters_enc=(16, 32, 64, 128, 256), filters_dec=(32, 64, 128, 256, 512))
 
 
+@pytest.mark.slow
 def test_learning_dynamics_short(rng):
     _run(steps=40, size=64, n=4,
          filters_enc=(4, 8, 16, 32, 64), filters_dec=(4, 8, 16, 32, 64))

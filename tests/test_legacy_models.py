@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medical_image_editing_tpu.models import (
     GPT,
@@ -77,6 +78,7 @@ def test_unet_vanilla(rng):
     assert out.shape == (1, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_gpt_causality(rng):
     cfg = GPTConfig(vocab_size=10, block_size=16, n_layer=2, n_head=2, n_embed=16,
                     emb_pdrop=0.0, res_pdrop=0.0, att_pdrop=0.0)

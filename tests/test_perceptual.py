@@ -15,6 +15,7 @@ from medical_image_editing_tpu.ops.perceptual import (
 @pytest.mark.parametrize("factory", [lambda: make_vgg_loss("22"),
                                      lambda: make_vgg_loss("54"),
                                      make_lpips_loss])
+@pytest.mark.slow
 def test_perceptual_zero_for_identical(factory, rng):
     with pytest.warns(UserWarning):
         loss = factory()

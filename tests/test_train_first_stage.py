@@ -61,6 +61,7 @@ def _build(axis_name=None, use_dropblock=False):
     return enc, dec, state, step
 
 
+@pytest.mark.slow
 def test_first_stage_step_runs_and_learns(rng):
     enc, dec, state, step = _build()
     image = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
@@ -93,6 +94,7 @@ def test_codebook_init_step(rng):
     assert not np.allclose(np.asarray(new_state.vq.embed), np.asarray(state.vq.embed))
 
 
+@pytest.mark.slow
 def test_first_stage_data_parallel_matches_replicated_semantics(rng):
     """The shard_map'd step must produce identical (replicated) state on all
     devices and run end to end on the 8-device mesh."""
@@ -119,6 +121,7 @@ def test_first_stage_data_parallel_matches_replicated_semantics(rng):
     assert np.isfinite(float(m2["total"]))
 
 
+@pytest.mark.slow
 def test_first_stage_with_dropblock(rng):
     enc, dec, state, step = _build(use_dropblock=True)
     image = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))

@@ -80,6 +80,7 @@ def _build(step_type):
 
 
 @pytest.mark.parametrize("step_type", ["first", "second", "joint"])
+@pytest.mark.slow
 def test_multi_window_steps_run(rng, step_type):
     state, step = _build(step_type)
     image = jnp.asarray(rng.uniform(-0.3, 0.3, (2, RES, RES, 1)).astype(np.float32))

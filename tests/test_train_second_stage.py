@@ -53,6 +53,7 @@ def _build(dis_type, axis_name=None):
 
 
 @pytest.mark.parametrize("dis_type", ["UNetDiscriminator", "NLayerDiscriminator"])
+@pytest.mark.slow
 def test_second_stage_step(rng, dis_type):
     state, step = _build(dis_type)
     image = jnp.asarray(rng.uniform(-1, 1, (2, RES, RES, 1)).astype(np.float32))
@@ -81,6 +82,7 @@ def test_second_stage_step(rng, dis_type):
     assert np.isfinite(float(m2["total"]))
 
 
+@pytest.mark.slow
 def test_second_stage_data_parallel(rng):
     from medical_image_editing_tpu.parallel import (
         DATA_AXIS, create_mesh, data_parallel, replicate, shard_batch,

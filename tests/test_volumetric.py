@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medical_image_editing_tpu.models.volumetric import (
     VolumetricUNetDecoder,
@@ -20,6 +21,7 @@ FILTERS = (4, 8, 16)
 SHAPE = (2, 16, 16, 16, 1)
 
 
+@pytest.mark.slow
 def test_volumetric_forward_shapes(rng):
     enc, dec, ev, dv, vq, *_ = init_volumetric(
         jax.random.key(0), filters=FILTERS, dict_size=5, volume_shape=SHAPE)
@@ -45,6 +47,7 @@ def test_volumetric_train_step_single_device(rng):
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+@pytest.mark.slow
 def test_volumetric_spatial_partitioning(rng):
     """2x4 (data x spatial) mesh: depth-sharded volumes, XLA halo exchange.
     The sharded result must match the single-device result."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medical_image_editing_tpu.models.vqgan import VQGAN
 from medical_image_editing_tpu.models import UNetDiscriminator
@@ -29,6 +30,7 @@ def _init_vqgan(rng_key=0):
     return m, vars_, vq
 
 
+@pytest.mark.slow
 def test_vqgan_forward_shapes(rng):
     m, vars_, vq = _init_vqgan()
     x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
@@ -54,6 +56,7 @@ def test_vqgan_generate_from_ids(rng):
     assert recon.shape == (1, 32, 32, 1)
 
 
+@pytest.mark.slow
 def test_vqgan_unet_dis_step(rng):
     m, vars_, vq = _init_vqgan()
     dis = UNetDiscriminator(D_ch=4, resolution=128, D_attn="0")
