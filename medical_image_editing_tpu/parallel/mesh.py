@@ -30,10 +30,35 @@ def create_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Me
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _mesh_is_local(mesh: Mesh) -> bool:
+    pidx = jax.process_index()
+    return all(d.process_index == pidx for d in mesh.devices.flat)
+
+
 def replicate(mesh: Mesh, tree):
-    """Place a pytree fully replicated on the mesh."""
+    """Place a pytree fully replicated on the mesh.
+
+    Works on multi-controller (multi-process) meshes too: every process must
+    hold the same host-local values (guaranteed when state is built from the
+    same seeds, the reference's seed-exchange invariant); global arrays are
+    assembled from the local copies since `device_put` cannot target
+    non-addressable shardings.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if _mesh_is_local(mesh):
+        return jax.device_put(tree, sharding)
+
+    def put(x):
+        if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            data = np.asarray(jax.device_get(jax.random.key_data(x)))
+            g = jax.make_array_from_process_local_data(sharding, data, data.shape)
+            return jax.jit(jax.random.wrap_key_data, out_shardings=sharding)(g)
+        data = np.asarray(jax.device_get(x))
+        return jax.make_array_from_process_local_data(sharding, data, data.shape)
+
+    return jax.tree.map(put, tree)
 
 
 def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
