@@ -13,4 +13,10 @@ from .multi_window import (
     make_multi_window_second_stage_step,
 )
 from .vqgan_stage import make_vqgan_step
+from .prior import (
+    PriorTrainState,
+    create_prior_state,
+    make_prior_sampler,
+    make_prior_train_step,
+)
 from .trainer import Trainer
