@@ -360,6 +360,9 @@ class Trainer:
                 ckpt_dir,
                 limit_num=int(g(cfg.save, "limit_num", 10) or 10),
                 save_interval=int(g(cfg.save, "save_interval", 10) or 10),
+                # overlap checkpoint writes with the next epoch's compute
+                # (preemption-safe: Orbax commits atomically by rename)
+                use_async=bool(g(cfg.save, "use_async_checkpointing", False)),
             )
 
         if g(run, "resume_checkpoint", None):
@@ -450,6 +453,8 @@ class Trainer:
                 saver.save(jax.device_get(state), epoch)
             if eval_forward is not None and self.logger is not None:
                 self._validate(eval_forward, state, epoch)
+        if saver is not None:
+            saver.close()  # flush any in-flight async write
         return state
 
     def _make_eval_forward(self):
@@ -498,6 +503,29 @@ class Trainer:
         except Exception as e:  # snapshots must never kill training
             print(f"snapshot failed: {e}")
 
+    def _make_dis_forward(self, state):
+        """Jitted UNet-discriminator eval forward for validation grids
+        (reference fills the r_m/f_m panels from dis(real)/dis(recon),
+        `single_window_trainer.py:552-561`). None when no trained
+        discriminator is part of this mode."""
+        if (
+            self.training_mode not in ("second_step", "joint")
+            or self.dis_type != "UNetDiscriminator"
+            or not state.dis_vars
+        ):
+            return None
+        dis = self.dis
+
+        @jax.jit
+        def forward(st, image, recon):
+            extra = {k: v for k, v in st.dis_vars.items() if k != "params"}
+            variables = {"params": st.dis_vars["params"], **extra}
+            r_map, _, _ = dis.apply(variables, image, False)
+            f_map, _, _ = dis.apply(variables, recon, False)
+            return r_map, f_map
+
+        return forward
+
     def _validate(self, eval_forward, state, epoch, limit_val_batches: int = 2):
         """Per-epoch rank-0 validation grids (limit_val_batches=2,
         `run_vqwnet.py:127`)."""
@@ -505,14 +533,20 @@ class Trainer:
             val_loader = self.dataloader("val")
         except Exception:
             return
+        dis_forward = self._make_dis_forward(state)
         for i, batch in enumerate(val_loader):
             if i >= limit_val_batches:
                 break
             try:
+                dis_maps = None
+                if dis_forward is not None:
+                    recon, _ = eval_forward(state, batch["image"])
+                    dis_maps = dis_forward(state, batch["image"], recon)
                 evaluate.validation_snapshot(
                     eval_forward,
                     state,
                     batch,
+                    dis_maps=dis_maps,
                     dataset_name=str(self.config.dataset.dataset_name),
                     dict_size=self.dict_size,
                     n_save_images=int(g(self.config.save, "n_save_images", 4) or 4),

@@ -29,22 +29,44 @@ def _ckpt_name(epoch: int) -> str:
 
 
 class CheckpointManager:
-    """Epoch checkpoints with the ModelSaver retention policy."""
+    """Epoch checkpoints with the ModelSaver retention policy.
 
-    def __init__(self, directory: str, limit_num: int = 10, save_interval: int = 10):
+    `use_async=True` overlaps the checkpoint write with the next epoch's
+    compute (Orbax writes to a temp dir and renames on commit, so partially
+    written checkpoints are never visible to `latest_epoch`/`restore` — a
+    preemption mid-write loses only that save). The next `save` waits for the
+    previous write first, and `close()` must run before process exit.
+    """
+
+    def __init__(self, directory: str, limit_num: int = 10, save_interval: int = 10,
+                 use_async: bool = False):
         self.directory = os.path.abspath(directory)
         self.limit_num = limit_num
         self.save_interval = save_interval
+        self.use_async = use_async
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
     # -- save / prune -------------------------------------------------------
     def save(self, state, epoch: int):
         path = os.path.join(self.directory, _ckpt_name(epoch))
-        self._ckptr.save(path, state, force=True)
+        # serialize against any in-flight async write (Orbax requires one
+        # outstanding save per checkpointer)
         self._ckptr.wait_until_finished()
         self._prune()
+        self._ckptr.save(path, state, force=True)
+        if not self.use_async:
+            self._ckptr.wait_until_finished()
+            self._prune()
         return path
+
+    def wait_until_finished(self):
+        self._ckptr.wait_until_finished()
+
+    def close(self):
+        """Flush the in-flight async write. Call before process exit."""
+        self._ckptr.wait_until_finished()
+        self._prune()
 
     def _epochs(self) -> Sequence[int]:
         out = []

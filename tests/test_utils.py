@@ -137,3 +137,57 @@ def test_imaging_helpers(tmp_path, rng):
     p3 = str(tmp_path / "grid.png")
     save_image_grid(batch, p3, nrow=2)
     assert os.path.getsize(p3) > 0
+
+
+def test_checkpoint_async_overlap_and_retention(tmp_path):
+    """use_async=True: saves return before the write completes, close()
+    flushes, restore sees the committed data, and the retention policy ends
+    up identical to the synchronous manager's (pruning is deferred one save,
+    then caught up at close)."""
+    mgr = CheckpointManager(str(tmp_path / "a"), limit_num=2, save_interval=3,
+                            use_async=True)
+    states = [_tiny_state(e) for e in range(6)]
+    for e in range(6):
+        mgr.save(states[e], epoch=e)
+    mgr.close()
+    assert mgr._epochs() == [2, 4, 5], mgr._epochs()
+    restored = mgr.restore(_tiny_state(0))
+    np.testing.assert_array_equal(
+        np.asarray(restored.enc_vars["params"]["w"]),
+        np.asarray(states[5].enc_vars["params"]["w"]),
+    )
+    # a second manager over the same dir resumes cleanly
+    mgr2 = CheckpointManager(str(tmp_path / "a"), limit_num=2, save_interval=3)
+    assert mgr2.latest_epoch() == 5
+
+
+def test_fswatch_wakes_on_write(tmp_path):
+    import threading
+    import time as _time
+
+    from medical_image_editing_tpu.utils.fswatch import FileWatcher
+
+    target = tmp_path / "edited.nii"
+    target.write_bytes(b"v0")
+    with FileWatcher(str(target)) as w:
+        assert w.active  # Linux CI: inotify must engage
+        # no event → times out (measures the fallback sleep path too)
+        t0 = _time.monotonic()
+        assert w.wait(0.1) is False
+        assert _time.monotonic() - t0 >= 0.09
+
+        def writer():
+            _time.sleep(0.05)
+            target.write_bytes(b"v1")
+
+        th = threading.Thread(target=writer)
+        th.start()
+        t0 = _time.monotonic()
+        assert w.wait(5.0) is True  # woke on the write...
+        assert _time.monotonic() - t0 < 1.0  # ...not on the timeout
+        th.join()
+        # atomic replace-by-rename is also seen
+        other = tmp_path / "tmp_new"
+        other.write_bytes(b"v2")
+        other.rename(target)
+        assert w.wait(5.0) is True
