@@ -108,6 +108,7 @@ class DataLoader:
         prefetch_batches: int = 2,
         use_native: bool = True,
         shard_by_process: bool = True,
+        native_epilogue=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -131,10 +132,13 @@ class DataLoader:
             except Exception:
                 pass
         # native C++ batch loading (GIL-free thread pool) is usable when the
-        # samples come straight from fixed-size .npy files with no per-sample
-        # python transform; HU windowing is fused into the native pass.
+        # samples come straight from fixed-size .npy files and the per-sample
+        # transform is either absent or expressible as a native elementwise
+        # epilogue (`native_epilogue=(kind, p0, p1, p2)`, e.g. the CRC/BraTS
+        # NormalizeIntensity); HU windowing / the epilogue are fused into the
+        # per-slice worker pass.
         self._native = False
-        if use_native and transform is None:
+        if use_native and (transform is None or native_epilogue is not None):
             from . import native_loader
 
             files = getattr(dataset, "files", None)
@@ -145,6 +149,11 @@ class DataLoader:
             ):
                 self._native = True
                 self._native_window = getattr(dataset, "window", None)
+                self._native_epilogue = native_epilogue
+                assert not (self._native_window and native_epilogue), (
+                    "dataset-level windowing and a transform epilogue cannot "
+                    "both apply natively"
+                )
 
     def __len__(self):
         n = len(self.dataset)
@@ -193,7 +202,8 @@ class DataLoader:
         h, w = probe.shape
         try:
             images = native_loader.load_npy_batch(
-                paths, h, w, window=self._native_window
+                paths, h, w, window=self._native_window,
+                epilogue=self._native_epilogue,
             )
         except Exception:
             self._native = False
@@ -309,6 +319,16 @@ def get_data_loader(
             image = f(rng, image)
         return image.astype(np.float32)
 
+    # NormalizeIntensity as the ONLY transform (CRC/BraTS without host-side
+    # train augmentations) is an elementwise map → servable by the native
+    # loader as a fused per-slice epilogue; the python `transform` stays as
+    # the no-native fallback.
+    native_epilogue = None
+    if needs_intensity_norm and len(steps) == 1:
+        from . import native_loader
+
+        native_epilogue = (native_loader.EP_INTENSITY, 0.0, 255.0)
+
     if dataset_name == "MICCAIBraTSDataset":
         dataset = MICCAIBraTSDataset(root_dir_path, modality=modality)
     elif dataset_name == "NCCLungDataset":
@@ -332,4 +352,5 @@ def get_data_loader(
         transform=transform if steps else None,
         num_workers=num_workers,
         seed=seed,
+        native_epilogue=native_epilogue,
     )

@@ -83,6 +83,40 @@ int parse_header(FILE* f, NpyInfo* info) {
   return 0;
 }
 
+// Per-slice elementwise epilogues, applied inside the worker threads so the
+// post-processing parallelizes with the IO of the other slices.
+constexpr int kEpNone = 0;
+constexpr int kEpWindow = 1;     // HU windowing (ops/windowing.normalize)
+constexpr int kEpIntensity = 2;  // NormalizeIntensity (transforms.py:52-71)
+
+struct Epilogue {
+  int kind = kEpNone;
+  float p0 = 0, p1 = 0, p2 = 0;  // window: width,center,scale; intensity: vmin,vmax,-
+};
+
+void apply_epilogue(float* out, size_t count, const Epilogue& ep) {
+  if (ep.kind == kEpWindow) {
+    // `//` bounds parity with ops/windowing.normalize: integer halving of width
+    const float vmax = ep.p1 + (float)((long)ep.p0 / 2);
+    const float vmin = ep.p1 - (float)((long)ep.p0 / 2);
+    const float inv = 1.0f / (vmax - vmin);
+    for (size_t i = 0; i < count; ++i) {
+      float v = out[i];
+      v = v < vmin ? vmin : (v > vmax ? vmax : v);
+      out[i] = ((v - vmin) * inv - 0.5f) * ep.p2;
+    }
+  } else if (ep.kind == kEpIntensity) {
+    // clamp [vmin,vmax] -> [-1,1]
+    const float vmin = ep.p0, vmax = ep.p1;
+    const float inv = 2.0f / (vmax - vmin);
+    for (size_t i = 0; i < count; ++i) {
+      float v = out[i];
+      v = v < vmin ? vmin : (v > vmax ? vmax : v);
+      out[i] = (v - vmin) * inv - 1.0f;
+    }
+  }
+}
+
 // Load one slice into out (row-major float32, rows*cols).
 int load_one(const char* path, float* out, long rows, long cols) {
   FILE* f = fopen(path, "rb");
@@ -121,9 +155,13 @@ extern "C" {
 
 // paths: n NUL-terminated strings concatenated; offsets[i] = start of path i.
 // out: float32 buffer of n*rows*cols. n_threads <= 0 → hardware concurrency.
-// Returns 0, or (err*1000 - index) of the first failing file.
-int medimg_load_npy_batch(const char* paths, const long* offsets, long n,
-                          float* out, long rows, long cols, int n_threads) {
+// ep_kind 0=none, 1=HU windowing (p0,p1,p2 = width,center,scale),
+// 2=NormalizeIntensity (p0,p1 = vmin,vmax → [-1,1]); the epilogue runs
+// per-slice inside the worker threads, fully overlapped with the other
+// slices' IO. Returns 0, or (err*1000 - index) of the first failing file.
+int medimg_load_npy_batch_ep(const char* paths, const long* offsets, long n,
+                             float* out, long rows, long cols, int ep_kind,
+                             float p0, float p1, float p2, int n_threads) {
   if (n_threads <= 0) {
     unsigned hc = std::thread::hardware_concurrency();
     n_threads = hc ? (int)hc : 1;
@@ -133,18 +171,21 @@ int medimg_load_npy_batch(const char* paths, const long* offsets, long n,
   std::atomic<long> next(0);
   std::atomic<long> err(0);
   const size_t stride = (size_t)rows * cols;
+  const Epilogue ep{ep_kind, p0, p1, p2};
 
   auto worker = [&]() {
     long i;
     while ((i = next.fetch_add(1)) < n) {
       if (err.load() != 0) return;
-      int rc = load_one(paths + offsets[i], out + (size_t)i * stride, rows, cols);
+      float* dst = out + (size_t)i * stride;
+      int rc = load_one(paths + offsets[i], dst, rows, cols);
       if (rc != 0) {
         long code = (long)rc * 1000 - i;
         long expected = 0;
         err.compare_exchange_strong(expected, code);
         return;
       }
+      apply_epilogue(dst, stride, ep);
     }
   };
 
@@ -154,24 +195,20 @@ int medimg_load_npy_batch(const char* paths, const long* offsets, long n,
   return (int)err.load();
 }
 
+int medimg_load_npy_batch(const char* paths, const long* offsets, long n,
+                          float* out, long rows, long cols, int n_threads) {
+  return medimg_load_npy_batch_ep(paths, offsets, n, out, rows, cols, kEpNone,
+                                  0, 0, 0, n_threads);
+}
+
 // Fused load + HU windowing (ops/windowing.normalize semantics) — saves one
 // pass over the batch when the dataset windows at load (NCCLungDataset).
 int medimg_load_npy_batch_windowed(const char* paths, const long* offsets,
                                    long n, float* out, long rows, long cols,
                                    float width, float center, float scale,
                                    int n_threads) {
-  int rc = medimg_load_npy_batch(paths, offsets, n, out, rows, cols, n_threads);
-  if (rc != 0) return rc;
-  const float vmax = center + (float)((long)width / 2);
-  const float vmin = center - (float)((long)width / 2);
-  const float inv = 1.0f / (vmax - vmin);
-  const size_t count = (size_t)n * rows * cols;
-  for (size_t i = 0; i < count; ++i) {
-    float v = out[i];
-    v = v < vmin ? vmin : (v > vmax ? vmax : v);
-    out[i] = ((v - vmin) * inv - 0.5f) * scale;
-  }
-  return 0;
+  return medimg_load_npy_batch_ep(paths, offsets, n, out, rows, cols,
+                                  kEpWindow, width, center, scale, n_threads);
 }
 
 }  // extern "C"

@@ -53,6 +53,42 @@ def test_native_error_reporting(tmp_path, rng):
         native_loader.load_npy_batch([str(tmp_path / "bad.npy")], 8, 8)
 
 
+def test_native_intensity_epilogue(tmp_path, rng):
+    from medical_image_editing_tpu.data.loader import normalize_intensity_np
+
+    arrays = [rng.uniform(-50, 300, (8, 8)).astype(np.float32) for _ in range(4)]
+    paths = _write(tmp_path, arrays)
+    out = native_loader.load_npy_batch(
+        paths, 8, 8, epilogue=(native_loader.EP_INTENSITY, 0.0, 255.0),
+        n_threads=2,
+    )
+    for i, a in enumerate(arrays):
+        np.testing.assert_allclose(out[i], normalize_intensity_np(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_get_data_loader_crc_uses_native_epilogue(tmp_path, rng):
+    """CRC val/test (NormalizeIntensity only) is served by the native loader
+    and matches the python transform path exactly."""
+    from medical_image_editing_tpu.data import get_data_loader
+
+    for p in range(2):
+        pdir = tmp_path / f"P{p:03d}_x"
+        pdir.mkdir()
+        for s in range(3):
+            np.save(pdir / f"{s:04d}.npy",
+                    rng.uniform(0, 255, (16, 16)).astype(np.float32))
+    mk = lambda: get_data_loader("test", "CRCDataset", str(tmp_path),
+                                 batch_size=3, seed=7)
+    native = mk()
+    assert native._native and native._native_epilogue is not None
+    python = mk()
+    python._native = False
+    for a, b in zip(native, python):
+        np.testing.assert_allclose(a["image"], b["image"], rtol=1e-5, atol=1e-6)
+        assert a["patient_id"] == b["patient_id"]
+
+
 def test_dataloader_native_path_matches_python(tmp_path, rng):
     from medical_image_editing_tpu.data import DataLoader, NCCLungDataset
 
