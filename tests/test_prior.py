@@ -144,3 +144,43 @@ def test_prior_end_to_end_with_vqwnet():
     img = dec.apply(dec_vars, embed, False, 0.0)
     assert img.shape == (1, 16, 16, 1)
     assert np.all(np.isfinite(np.asarray(img)))
+
+
+@pytest.mark.slow
+def test_train_prior_cli_end_to_end(tmp_path):
+    """CLI smoke: synthetic dataset → id extraction → LM steps → sample →
+    decode → PNG + ids + prior checkpoint on disk. The id grid is
+    full-resolution (the UNet encoder upsamples back before VQ), so 64²
+    images mean 4096-token sequences — the scan sampler generates all of
+    them in one compiled program."""
+    import json
+    import os
+
+    from medical_image_editing_tpu.cli import train_prior
+
+    cfg = {
+        "dataset": {
+            "dataset_name": "SyntheticSliceDataset",
+            "root_dir_path": str(tmp_path), "batch_size": 2,
+            "num_workers": 0, "image_size": [64, 64],
+        },
+        "model": {"vqmodel": {
+            "in_channels": 1, "enc_filters": [4, 8, 16, 32, 64],
+            "dec_filters": [4, 8, 16, 32, 64], "dict_size": 5,
+            "momentum": 0.99, "dec_use_styled_up_block": True,
+        }},
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out = tmp_path / "prior_out"
+    rc = train_prior.main([
+        "-c", str(cfg_path), "--steps", "3", "--sample", "2",
+        "--n-layer", "1", "--n-head", "2", "--n-embd", "16",
+        "--log-every", "1", "--out", str(out),
+    ])
+    assert rc == 0
+    assert os.path.isdir(out / "prior_ckpt")
+    assert (out / "samples.png").stat().st_size > 0
+    ids = np.load(out / "sample_ids.npy")
+    assert ids.shape == (2, 64, 64)  # VQ grid is full resolution
+    assert ids.min() >= 0 and ids.max() < 5
