@@ -161,25 +161,46 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batches(self) -> Iterator[dict]:
+    def set_epoch(self, epoch: int):
+        """Pin the next iteration's permutation to `epoch` (DistributedSampler
+        semantics). Makes the data order a pure function of (seed, epoch) so a
+        resumed run replays the same order as an uninterrupted one."""
+        self._epoch = int(epoch)
+
+    def epoch_iterator(self, epoch: int, skip_batches: int = 0) -> Iterator[dict]:
+        """Iterate epoch `epoch`, skipping its first `skip_batches` batches
+        without loading them (mid-epoch resume: the skipped ones were already
+        consumed before preemption)."""
+        self.set_epoch(epoch)
+        return self._batches(skip_batches=skip_batches)
+
+    def _batches(self, skip_batches: int = 0) -> Iterator[dict]:
         n = len(self.dataset)
-        rng = np.random.default_rng(self._seed + self._epoch)
+        epoch = self._epoch
+        rng = np.random.default_rng(self._seed + epoch)
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         pcount, pidx = self._process_shard
         if pcount > 1:
             order = order[pidx::pcount]
             n = len(order)
         self._epoch += 1
-        sample_rng = np.random.default_rng(rng.integers(2**31))
-        for start in range(0, n, self.batch_size):
+        for bi, start in enumerate(range(0, n, self.batch_size)):
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
+            if bi < skip_batches:
+                continue
             if self._native:
                 batch = self._native_batch(idx)
                 if batch is not None:
                     yield batch
                     continue
+            # per-batch transform rng is a pure function of
+            # (seed, epoch, batch index) so a mid-epoch resume replays the
+            # exact augmentation stream of an uninterrupted run
+            sample_rng = np.random.default_rng(
+                np.random.SeedSequence([self._seed & 0xFFFFFFFF, epoch, bi])
+            )
             samples = []
             for i in idx:
                 s = self.dataset[int(i)]

@@ -414,13 +414,26 @@ class Trainer:
             )
 
         db_start, db_stop, db_steps = self._db
+        save_every_n_steps = int(g(cfg.save, "save_every_n_steps", 0) or 0)
         global_step = int(jax.device_get(state.step))
         done = False
-        for epoch in range(int(jax.device_get(state.epoch)), n_epochs):
+        start_epoch = int(jax.device_get(state.epoch))
+        # mid-epoch resume: state.step counts completed optimizer steps;
+        # whatever exceeds the completed epochs' worth of batches was consumed
+        # before the preemption — skip exactly that many batches of the first
+        # epoch (the loader's order is a pure function of (seed, epoch), so
+        # the replayed stream matches an uninterrupted run's).
+        steps_per_epoch = len(loader)
+        resume_skip = max(0, global_step - start_epoch * steps_per_epoch)
+        if resume_skip >= steps_per_epoch:
+            resume_skip = 0  # inconsistent counters; replay the full epoch
+        for epoch in range(start_epoch, n_epochs):
             drop_prob = jnp.float32(
                 dropblock_schedule(epoch, db_start, db_stop, db_steps)
             )
-            for batch in prefetch_to_device(loader, size=2, sharding=sharding):
+            skip = resume_skip if epoch == start_epoch else 0
+            epoch_batches = loader.epoch_iterator(epoch, skip_batches=skip)
+            for batch in prefetch_to_device(epoch_batches, size=2, sharding=sharding):
                 with jax.profiler.StepTraceAnnotation("train", step_num=global_step):
                     state, metrics = self.train_step(state, batch["image"], drop_prob)
                 global_step += 1
@@ -438,6 +451,15 @@ class Trainer:
                         and global_step % SNAPSHOT_INTERVAL == 0
                     ):
                         self._snapshot(eval_forward, state, batch, epoch, global_step)
+                # periodic mid-epoch save (preemption safety): with the
+                # deterministic (seed, epoch) loader order + step-derived
+                # batch cursor, resume replays exactly the unseen tail
+                if (
+                    saver is not None
+                    and save_every_n_steps
+                    and global_step % save_every_n_steps == 0
+                ):
+                    saver.save(jax.device_get(state), epoch)
                 if max_steps is not None and global_step >= max_steps:
                     done = True
                     break

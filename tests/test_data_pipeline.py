@@ -215,3 +215,37 @@ def test_preprocess_brats_patient(tmp_path, rng):
     assert len(files) == 10  # 5 modalities × 2 slices
     seg0 = np.load(dst / pat / f"{pat}_seg_0000.npy")
     assert set(np.unique(seg0)) <= {0, 1, 2, 3}  # 4→3 remap
+
+
+def test_epoch_iterator_mid_epoch_resume_replays_exact_stream(tmp_path, rng):
+    """Loader order is a pure function of (seed, epoch): skipping the first k
+    batches of an epoch yields exactly the batches an uninterrupted run
+    produced after its k-th — including the host-side augmentation draws."""
+    from medical_image_editing_tpu.data import get_data_loader
+
+    for p in range(3):
+        pdir = tmp_path / f"P{p:03d}_x"
+        pdir.mkdir()
+        for s in range(8):
+            np.save(pdir / f"{s:04d}.npy",
+                    rng.uniform(0, 255, (16, 16)).astype(np.float32))
+    mk = lambda: get_data_loader(
+        "train", "CRCDataset", str(tmp_path), batch_size=4, drop_last=True,
+        augmentations=["RandomAffineTransform", "RandomHorizontalFlipTransform"],
+        seed=11,
+    )
+    full = list(mk().epoch_iterator(epoch=2))
+    assert len(full) == 6
+    for k in (1, 3, 5):
+        resumed = list(mk().epoch_iterator(epoch=2, skip_batches=k))
+        assert len(resumed) == len(full) - k
+        for a, b in zip(full[k:], resumed):
+            np.testing.assert_array_equal(a["image"], b["image"])
+            assert a["patient_id"] == b["patient_id"]
+    # different epochs shuffle differently
+    other = list(mk().epoch_iterator(epoch=3))
+    assert any(
+        a["patient_id"] != b["patient_id"] or
+        not np.array_equal(a["image"], b["image"])
+        for a, b in zip(full, other)
+    )

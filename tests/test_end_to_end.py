@@ -294,3 +294,64 @@ def test_cli_train_multiwindow_flag(crc_env):
     assert len(lines) >= 3
     total = float(lines[1].split(",")[2])
     assert np.isfinite(total)
+
+
+@pytest.mark.slow
+def test_fit_mid_epoch_resume_consumes_only_remaining_batches(crc_env):
+    """Preemption mid-epoch: resume replays only the unseen tail of that
+    epoch (loader order is a pure function of (seed, epoch)), so the total
+    optimizer steps equal one uninterrupted epoch's."""
+    import jax
+
+    tmp_path, cfg_path, cfg = crc_env
+    from medical_image_editing_tpu.train.trainer import Trainer
+    from medical_image_editing_tpu.utils.config import to_config
+    from medical_image_editing_tpu.utils.logging import Logger
+
+    # 8 samples, batch 2, drop_last → 4 steps/epoch; preempt after 3
+    logger = Logger(str(tmp_path / "mid_run"), config=to_config(cfg),
+                    monitoring_metrics=["total"], name="m")
+    trainer = Trainer(to_config(cfg), logger=logger)
+    state = trainer.fit(max_steps=3)
+    assert int(jax.device_get(state.step)) == 3
+    assert int(jax.device_get(state.epoch)) == 0
+    ckpt_dir = os.path.join(logger.log_dir, "ckpt")
+
+    cfg2 = json.loads(json.dumps(cfg))
+    cfg2["run"]["resume_checkpoint"] = ckpt_dir
+    logger2 = Logger(str(tmp_path / "mid_run2"), config=to_config(cfg2),
+                     monitoring_metrics=["total"], name="m")
+    trainer2 = Trainer(to_config(cfg2), logger=logger2)
+    state2 = trainer2.fit()  # n_epochs=1: finish epoch 0 only
+    assert int(jax.device_get(state2.step)) == 4  # 3 + the single unseen batch
+    assert int(jax.device_get(state2.epoch)) == 1
+
+
+@pytest.mark.slow
+def test_fit_periodic_mid_epoch_saves(crc_env, monkeypatch):
+    """save.save_every_n_steps triggers mid-epoch checkpoints (preemption
+    safety) in addition to the epoch-end save."""
+    from medical_image_editing_tpu.train import trainer as trainer_mod
+    from medical_image_editing_tpu.train.trainer import Trainer
+    from medical_image_editing_tpu.utils.config import to_config
+    from medical_image_editing_tpu.utils.logging import Logger
+
+    tmp_path, cfg_path, cfg = crc_env
+    cfg = json.loads(json.dumps(cfg))
+    cfg["save"]["save_every_n_steps"] = 2
+
+    calls = []
+    orig = trainer_mod.CheckpointManager.save
+
+    def spy(self, state, epoch):
+        calls.append(int(jax.device_get(state.step)))
+        return orig(self, state, epoch)
+
+    monkeypatch.setattr(trainer_mod.CheckpointManager, "save", spy)
+    import jax
+
+    logger = Logger(str(tmp_path / "periodic_run"), config=to_config(cfg),
+                    monitoring_metrics=["total"], name="p")
+    Trainer(to_config(cfg), logger=logger).fit(max_epochs=1)
+    # 4 steps/epoch: periodic at steps 2 and 4, epoch-end at 4
+    assert calls == [2, 4, 4], calls
