@@ -9,6 +9,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # persistent compile cache (see bench.py)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/medimg_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def run_edit_benchmarks():
     """Measure + print the two editing metrics as JSON lines; returns them."""
@@ -21,11 +27,16 @@ def run_edit_benchmarks():
     dec = UNetDecoder(out_channels=1, filters=(32, 64, 128, 256, 512),
                       dropped_skip_layers=(), use_pixel_shuffle=False,
                       dtype=jnp.bfloat16)
-    x0 = jnp.zeros((1, 512, 512, 1), jnp.float32)
-    enc_vars, vq = enc.init(jax.random.key(0), x0)
-    q, *_ = enc(enc_vars, vq, x0, train=False)
-    dec_vars = dec.init({"params": jax.random.key(1),
-                         "dropblock": jax.random.key(2)}, q, train=False)
+    # init on host CPU — avoids one-shot compile RPCs through the tunnel —
+    # then commit the params to the accelerator explicitly
+    with jax.default_device(jax.devices("cpu")[0]):
+        x0 = jnp.zeros((1, 512, 512, 1), jnp.float32)
+        enc_vars, vq = enc.init(jax.random.key(0), x0)
+        q, *_ = enc(enc_vars, vq, x0, train=False)
+        dec_vars = dec.init({"params": jax.random.key(1),
+                             "dropblock": jax.random.key(2)}, q, train=False)
+    dev = jax.devices()[0]
+    dec_vars, vq = jax.device_put((dec_vars, vq), dev)
 
     rng = np.random.default_rng(0)
 

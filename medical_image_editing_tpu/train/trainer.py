@@ -415,6 +415,13 @@ class Trainer:
 
         db_start, db_stop, db_steps = self._db
         save_every_n_steps = int(g(cfg.save, "save_every_n_steps", 0) or 0)
+        # on-demand profiler capture: run.profile_dir writes a TensorBoard-
+        # loadable XLA trace of steps [profile_start_step, +profile_num_steps)
+        # (post-warmup by default so compiles don't pollute the trace)
+        profile_dir = g(run, "profile_dir", None)
+        profile_start = int(g(run, "profile_start_step", 10) or 10)
+        profile_num = int(g(run, "profile_num_steps", 5) or 5)
+        profiling = False
         global_step = int(jax.device_get(state.step))
         done = False
         start_epoch = int(jax.device_get(state.epoch))
@@ -434,9 +441,17 @@ class Trainer:
             skip = resume_skip if epoch == start_epoch else 0
             epoch_batches = loader.epoch_iterator(epoch, skip_batches=skip)
             for batch in prefetch_to_device(epoch_batches, size=2, sharding=sharding):
+                if profile_dir and not profiling and global_step + 1 >= profile_start:
+                    jax.profiler.start_trace(str(profile_dir))
+                    profiling = True
                 with jax.profiler.StepTraceAnnotation("train", step_num=global_step):
                     state, metrics = self.train_step(state, batch["image"], drop_prob)
                 global_step += 1
+                if profiling and global_step >= profile_start + profile_num:
+                    jax.device_get(metrics)  # close the trace on finished work
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_dir = None  # one capture per fit
                 if self.logger is not None:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     m["epoch"] = epoch
@@ -475,6 +490,8 @@ class Trainer:
                 saver.save(jax.device_get(state), epoch)
             if eval_forward is not None and self.logger is not None:
                 self._validate(eval_forward, state, epoch)
+        if profiling:  # fit ended inside the capture window
+            jax.profiler.stop_trace()
         if saver is not None:
             saver.close()  # flush any in-flight async write
         return state

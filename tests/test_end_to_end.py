@@ -355,3 +355,27 @@ def test_fit_periodic_mid_epoch_saves(crc_env, monkeypatch):
     Trainer(to_config(cfg), logger=logger).fit(max_epochs=1)
     # 4 steps/epoch: periodic at steps 2 and 4, epoch-end at 4
     assert calls == [2, 4, 4], calls
+
+
+@pytest.mark.slow
+def test_fit_profile_capture(crc_env):
+    """run.profile_dir captures a TensorBoard-loadable XLA trace of the
+    configured step window during fit."""
+    from medical_image_editing_tpu.train.trainer import Trainer
+    from medical_image_editing_tpu.utils.config import to_config
+    from medical_image_editing_tpu.utils.logging import Logger
+
+    tmp_path, cfg_path, cfg = crc_env
+    cfg = json.loads(json.dumps(cfg))
+    prof_dir = str(tmp_path / "trace")
+    cfg["run"]["profile_dir"] = prof_dir
+    cfg["run"]["profile_start_step"] = 2
+    cfg["run"]["profile_num_steps"] = 1
+
+    logger = Logger(str(tmp_path / "prof_run"), config=to_config(cfg),
+                    monitoring_metrics=["total"], name="pr")
+    Trainer(to_config(cfg), logger=logger).fit(max_epochs=1)
+    traces = []
+    for root, _, names in os.walk(prof_dir):
+        traces += [n for n in names if n.endswith((".trace.json.gz", ".xplane.pb"))]
+    assert traces, f"no trace files under {prof_dir}"
