@@ -21,6 +21,7 @@ over three traced window functions (unrolled at trace time — three fused loss
 evaluations, no dynamic control flow).
 """
 
+from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -42,6 +43,24 @@ from ..ops.windowing import (
 from .first_stage import FirstStageLossConfig, make_first_stage_step
 from .second_stage import SecondStageLossConfig, _apply, _split_vars, unet_perceptual_loss
 from .state import TrainState
+
+
+def _maybe_remat_dis(dis, use_remat: bool):
+    """Optionally rematerialize discriminator generator-pass applications.
+
+    The joint/multi-window generator loss holds 6–12 discriminator forwards
+    (windows × views ×(fake[+real])) alive for the backward pass; at 256²
+    f32 that overflows a single chip's HBM (observed on v5e). `jax.checkpoint`
+    trades those activations for recompute — the standard TPU memory lever.
+    """
+    if not use_remat:
+        return _apply
+
+    @partial(jax.checkpoint, static_argnums=(3,))
+    def ckpt(params, extra, x, train):
+        return _apply(dis, params, extra, x, train)
+
+    return lambda _dis, params, extra, x, train: ckpt(params, extra, x, train)
 
 
 def window_fns(dataset_window: Tuple[float, float, float]):
@@ -142,12 +161,14 @@ def make_multi_window_second_stage_step(
     percep_weights=(1.0, 1.0, 1.0),
     axis_name: Optional[str] = None,
     perceptual_fn=None,
+    use_remat: bool = False,
 ):
     """GAN second step over three windows (UNetDiscriminator).
     Spec: `multi_window_trainer.py:208-390`."""
     assert loss_cfg.dis_loss_type == "hinge_d_loss"
     fns = window_fns(dataset_window)
     n = float(len(fns))
+    _apply_gen = _maybe_remat_dis(dis, use_remat)
 
     def step_fn(state: TrainState, image, drop_prob=0.0):
         rng, k_drop, k_dis = jax.random.split(state.rng, 3)
@@ -186,10 +207,10 @@ def make_multi_window_second_stage_step(
                     l_freq += freq_weights[i] * focal_frequency_loss(r, t)
                 if loss_cfg.use_perceptual_loss and perceptual_fn is not None:
                     l_percep += percep_weights[i] * perceptual_fn(r, t)
-                (f_map, f_bottle, f_feats), de = _apply(dis, dis_params, de, r, True)
+                (f_map, f_bottle, f_feats), de = _apply_gen(dis, dis_params, de, r, True)
                 l_gen += -(jnp.mean(f_map) + jnp.mean(f_bottle))
                 if loss_cfg.use_unet_perceptual_loss:
-                    (_, _, r_feats), de = _apply(
+                    (_, _, r_feats), de = _apply_gen(
                         dis, dis_params, de, jax.lax.stop_gradient(t), True
                     )
                     l_upercep += unet_perceptual_loss(f_feats, r_feats)
@@ -235,8 +256,8 @@ def make_multi_window_second_stage_step(
             keys = jax.random.split(k_dis, len(fns))
             for i, wf in enumerate(fns):
                 r, t = wf(o_recon), wf(image)
-                (r_map, r_bottle, _), de = _apply(dis, dpp, de, t, True)
-                (f_map, f_bottle, _), de = _apply(dis, dpp, de, r, True)
+                (r_map, r_bottle, _), de = _apply_gen(dis, dpp, de, t, True)
+                (f_map, f_bottle, _), de = _apply_gen(dis, dpp, de, r, True)
                 l_dis += hinge_d_loss(r_map, f_map) + hinge_d_loss(r_bottle, f_bottle)
 
                 k_box, k_inv = jax.random.split(keys[i])
@@ -246,7 +267,7 @@ def make_multi_window_second_stage_step(
                 mask2d = jnp.where(invert, 1.0 - mask2d, mask2d)
 
                 cmix = mask_src_tgt(t, r, mask2d)
-                (c_map, c_bottle, _), de = _apply(dis, dpp, de, cmix, True)
+                (c_map, c_bottle, _), de = _apply_gen(dis, dpp, de, cmix, True)
                 m = mask2d[None, :, :, None]
                 l_cutmix += jnp.mean(jax.nn.relu(1.0 + c_bottle)) + jnp.mean(
                     jax.nn.relu(1.0 - (m * 2.0 - 1.0) * c_map)
@@ -315,6 +336,7 @@ def make_joint_step(
     percep_weights=(1.0, 1.0, 1.0),
     axis_name: Optional[str] = None,
     perceptual_fn=None,
+    use_remat: bool = False,
 ):
     """joint_step: enc+dec+dis in one step. Spec: `multi_window_trainer.py:394-677`.
 
@@ -325,6 +347,7 @@ def make_joint_step(
     """
     fns = window_fns(dataset_window)
     n = float(len(fns))
+    _apply_gen = _maybe_remat_dis(dis, use_remat)
 
     def step_fn(state: TrainState, image, drop_prob=0.0):
         rng, k1, k2, kd1, kd2, k_dis = jax.random.split(state.rng, 6)
@@ -376,6 +399,9 @@ def make_joint_step(
                     dec_vars, x, True, drop_prob, rngs={"dropblock": key}
                 ), {}
 
+            if use_remat:
+                decode = jax.checkpoint(decode)
+
             recon_1, dec_upd = decode(q1, kd1)
             recon_2, dec_upd2 = decode(q2, kd2)
             dec_upd = dec_upd2 or dec_upd
@@ -399,16 +425,16 @@ def make_joint_step(
                         l_freq += freq_weights[i] * focal_frequency_loss(r, t)
                     if first_cfg.use_perceptual_loss and perceptual_fn is not None:
                         l_percep += percep_weights[i] * perceptual_fn(r, t)
-                (f_map_1, f_bottle_1, f_feats_1), de = _apply(dis, dis_params, de, r1, True)
-                (f_map_2, f_bottle_2, f_feats_2), de = _apply(dis, dis_params, de, r2, True)
+                (f_map_1, f_bottle_1, f_feats_1), de = _apply_gen(dis, dis_params, de, r1, True)
+                (f_map_2, f_bottle_2, f_feats_2), de = _apply_gen(dis, dis_params, de, r2, True)
                 l_gen += -(jnp.mean(f_map_1) + jnp.mean(f_bottle_1)) - (
                     jnp.mean(f_map_2) + jnp.mean(f_bottle_2)
                 )
                 if second_cfg.use_unet_perceptual_loss:
-                    (_, _, r_feats_1), de = _apply(
+                    (_, _, r_feats_1), de = _apply_gen(
                         dis, dis_params, de, jax.lax.stop_gradient(t1), True
                     )
-                    (_, _, r_feats_2), de = _apply(
+                    (_, _, r_feats_2), de = _apply_gen(
                         dis, dis_params, de, jax.lax.stop_gradient(t2), True
                     )
                     l_upercep += unet_perceptual_loss(
@@ -475,10 +501,10 @@ def make_joint_step(
             for i, wf in enumerate(fns):
                 r1, t1 = wf(recon_1), wf(clear_1)
                 r2, t2 = wf(recon_2), wf(clear_2)
-                (r_map_1, r_bottle_1, _), de = _apply(dis, dpp, de, t1, True)
-                (r_map_2, r_bottle_2, _), de = _apply(dis, dpp, de, t2, True)
-                (f_map_1, f_bottle_1, _), de = _apply(dis, dpp, de, r1, True)
-                (f_map_2, f_bottle_2, _), de = _apply(dis, dpp, de, r2, True)
+                (r_map_1, r_bottle_1, _), de = _apply_gen(dis, dpp, de, t1, True)
+                (r_map_2, r_bottle_2, _), de = _apply_gen(dis, dpp, de, t2, True)
+                (f_map_1, f_bottle_1, _), de = _apply_gen(dis, dpp, de, r1, True)
+                (f_map_2, f_bottle_2, _), de = _apply_gen(dis, dpp, de, r2, True)
                 l_dis += (
                     hinge_d_loss(r_map_1, f_map_1)
                     + hinge_d_loss(r_bottle_1, f_bottle_1)
@@ -495,8 +521,8 @@ def make_joint_step(
 
                 cmix_1 = mask_src_tgt(t1, r1, mask2d)
                 cmix_2 = mask_src_tgt(t2, r2, mask2d)
-                (c_map_1, c_bottle_1, _), de = _apply(dis, dpp, de, cmix_1, True)
-                (c_map_2, c_bottle_2, _), de = _apply(dis, dpp, de, cmix_2, True)
+                (c_map_1, c_bottle_1, _), de = _apply_gen(dis, dpp, de, cmix_1, True)
+                (c_map_2, c_bottle_2, _), de = _apply_gen(dis, dpp, de, cmix_2, True)
                 l_cutmix += (
                     jnp.mean(jax.nn.relu(1.0 + c_bottle_1))
                     + jnp.mean(jax.nn.relu(1.0 + c_bottle_2))

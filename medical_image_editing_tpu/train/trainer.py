@@ -220,6 +220,11 @@ class Trainer:
                 freq_weights=tuple(g(self.config.loss, "freq_weights", (1, 1, 1))),
                 percep_weights=tuple(g(self.config.loss, "percep_weights", (1, 1, 1))),
             )
+            # run.use_remat: rematerialize the GAN forwards inside the
+            # window×view loops — fits the f32 joint step on a single chip
+            use_remat = bool(g(self.config.run, "use_remat", False))
+            if mode in ("second_step", "joint_step"):
+                mw["use_remat"] = use_remat
             if mode == "first_step":
                 step = make_multi_window_first_stage_step(
                     self.encoder, self.decoder, self.enc_tx, self.dec_tx,

@@ -379,3 +379,60 @@ def test_fit_profile_capture(crc_env):
     for root, _, names in os.walk(prof_dir):
         traces += [n for n in names if n.endswith((".trace.json.gz", ".xplane.pb"))]
     assert traces, f"no trace files under {prof_dir}"
+
+
+@pytest.mark.slow
+def test_run_recon_serve_loop_inotify(tmp_path, rng):
+    """serve() with the inotify watcher: each wait wakes on the editor's next
+    write instead of sleeping out the (deliberately huge) poll interval."""
+    import threading
+    import time
+
+    from medical_image_editing_tpu.cli import run_recon as rr
+    from medical_image_editing_tpu.utils import nifti
+
+    class TinyConfig(rr.LungConfig):
+        enc_filters = (4, 8, 16, 32, 64)
+        dec_filters = (4, 8, 16, 32, 64)
+
+        def __init__(self):
+            self.resume_checkpoint = None
+            self.edited_file_path = str(tmp_path / "edited.nii.gz")
+            self.save_dir_path = str(tmp_path / "out")
+
+    config = TinyConfig()
+    ids = rng.integers(0, 6, (32, 32)).astype(np.float64)
+    nifti.save(np.transpose(ids[::-1, ::-1]), config.edited_file_path)
+
+    def n_recons():
+        try:
+            return sum(f.startswith("recon_")
+                       for f in os.listdir(config.save_dir_path))
+        except FileNotFoundError:
+            return 0
+
+    stop = threading.Event()
+
+    def editor():
+        # after each processed edit appears, write the next map — every
+        # serve() wait must wake on the write, never on the 60 s timeout
+        for k in (1, 2):
+            while n_recons() < k and not stop.is_set():
+                time.sleep(0.05)
+            # recon filenames carry second-granularity timestamps (reference
+            # naming); space the writes out so outputs don't overwrite
+            time.sleep(1.2)
+            nifti.save(np.transpose(((ids + k) % 6)[::-1, ::-1]),
+                       config.edited_file_path)
+
+    th = threading.Thread(target=editor, daemon=True)
+    th.start()
+    t0 = time.monotonic()
+    # 3 iterations, poll_seconds=60: a dead watcher would sleep ~3 min;
+    # the first iteration still pays the CPU jit compile (~1 min budget)
+    rr.serve(config, poll_seconds=60.0, max_iters=3, watch="inotify")
+    elapsed = time.monotonic() - t0
+    stop.set()
+    th.join(timeout=5)
+    assert n_recons() >= 3, n_recons()  # initial + both mid-wait edits
+    assert elapsed < 150.0, elapsed  # compile budget, NOT 3 poll timeouts

@@ -94,3 +94,29 @@ def test_multi_window_steps_run(rng, step_type):
             p0 = jax.tree.leaves(getattr(state, attr)["params"])[0]
             p1 = jax.tree.leaves(getattr(new_state, attr)["params"])[0]
             assert not np.allclose(np.asarray(p0), np.asarray(p1)), attr
+
+
+@pytest.mark.slow
+def test_joint_step_remat_matches_plain(rng):
+    """use_remat=True recomputes instead of storing activations — the step's
+    numerics must be bit-compatible with the plain step."""
+    state, step = _build("joint")
+    enc = EncoderWithVQ(filters=FILTERS, dict_size=DICT)
+    dec = UNetDecoder(out_channels=1, filters=FILTERS, dropped_skip_layers=())
+    dis = UNetDiscriminator(D_ch=4, resolution=RES, D_attn="0")
+    enc_tx, dec_tx, dis_tx = make_optimizer(1e-4), make_optimizer(1e-4), make_optimizer(4e-4)
+    step_r = make_joint_step(
+        enc, dec, dis, enc_tx, dec_tx, dis_tx,
+        first_cfg=FirstStageLossConfig(margin=0.5),
+        second_cfg=SecondStageLossConfig(use_unet_perceptual_loss=True),
+        aug_cfg=AUG, dict_size=DICT, dataset_window=DSW, use_remat=True,
+    )
+    image = jnp.asarray(rng.uniform(-0.3, 0.3, (2, RES, RES, 1)).astype(np.float32))
+    s1, m1 = jax.jit(step)(state, image, 0.0)
+    s2, m2 = jax.jit(step_r)(state, image, 0.0)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-5,
+                                   err_msg=k)
+    a = jax.tree.leaves(s1.dec_vars["params"])[0]
+    b = jax.tree.leaves(s2.dec_vars["params"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
