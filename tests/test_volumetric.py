@@ -83,3 +83,36 @@ def test_volumetric_spatial_partitioning(rng):
     np.testing.assert_allclose(
         np.asarray(out[2].embed), np.asarray(ref[2].embed), rtol=1e-3, atol=1e-5
     )
+
+
+def test_train_volumetric_cli(tmp_path):
+    """CLI smoke: synthetic volumes → train → checkpoint + recon panel."""
+    import os
+
+    from medical_image_editing_tpu.cli import train_volumetric
+
+    out = tmp_path / "vol_out"
+    rc = train_volumetric.main([
+        "--steps", "3", "--batch", "2", "--size", "16",
+        "--n-synthetic", "4", "--filters", "4,8", "--log-every", "1",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    assert os.path.isdir(out / "volumetric_ckpt")
+    assert (out / "recon_mid.png").stat().st_size > 0
+
+
+def test_train_volumetric_cli_mesh(tmp_path):
+    """CLI with --mesh 2,4 on the 8-device virtual CPU mesh."""
+    import os
+
+    from medical_image_editing_tpu.cli import train_volumetric
+
+    out = tmp_path / "vol_mesh_out"
+    rc = train_volumetric.main([
+        "--steps", "2", "--batch", "2", "--size", "16",
+        "--n-synthetic", "4", "--filters", "4,8", "--mesh", "2,4",
+        "--log-every", "1", "--out", str(out),
+    ])
+    assert rc == 0
+    assert os.path.isdir(out / "volumetric_ckpt")
