@@ -1,0 +1,168 @@
+"""HTTP editing service: POST an id map, get the decoded image back.
+
+Production-serving counterpart of the file-watching `run_recon` server (the
+reference's only serving surface is that 1 Hz polling loop,
+`/root/reference/src/run_recon.py:164-238`). Zero new dependencies — stdlib
+`http.server` with a threading server; the TPU work is the same single
+jit-compiled codebook-lookup + decode dispatch as `run_recon`/`edit_batch`,
+kept resident between requests.
+
+API:
+  GET  /healthz          → JSON {status, config, dict_size, device}
+  POST /edit             → body: .npy bytes, int id map (H,W) or (B,H,W);
+                           0 = background. Response: .npy float32 recon of
+                           the same leading shape (or ?format=png for an
+                           8-bit grayscale PNG of the first slice).
+                           Header X-Edit-Ms reports device latency.
+
+Shapes are static per XLA compilation: the first request of a new (B,H,W)
+pays a compile; subsequent ones are a single dispatch. Deploy with the
+shapes you serve (e.g. warm 1×512² + 32×512²).
+"""
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def build_service(config):
+    """(edit_fn, state, meta) from a run_recon-style config object."""
+    from .edit_batch import make_batched_edit_fn
+    from .run_recon import load_model
+
+    _, decoder, state = load_model(config)
+    edit_fn = make_batched_edit_fn(
+        decoder,
+        is_lung=config.config_name == "LungConfig",
+        dataset_window=(config.window_width, config.window_center,
+                        config.window_scale),
+    )
+    return edit_fn, state
+
+
+class EditService:
+    def __init__(self, config):
+        import jax
+
+        self.config = config
+        self.edit_fn, self.state = build_service(config)
+        self.device = str(jax.devices()[0])
+        self._lock = threading.Lock()  # serialize device dispatch per request
+
+    def edit(self, ids):
+        import jax.numpy as jnp
+        import numpy as np
+
+        squeeze = ids.ndim == 2
+        if squeeze:
+            ids = ids[None]
+        t0 = time.perf_counter()
+        with self._lock:
+            recon = np.asarray(
+                self.edit_fn(self.state.dec_vars, self.state.vq,
+                             jnp.asarray(ids.astype(np.int32)))
+            )
+        ms = (time.perf_counter() - t0) * 1000.0
+        return (recon[0] if squeeze else recon), ms
+
+
+def make_handler(service: EditService):
+    import numpy as np
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code, body, ctype, extra=None):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.split("?")[0] != "/healthz":
+                self._send(404, b"not found", "text/plain")
+                return
+            info = {
+                "status": "ok",
+                "config": service.config.config_name,
+                "dict_size": int(service.config.dict_size),
+                "device": service.device,
+            }
+            self._send(200, json.dumps(info).encode(), "application/json")
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/edit":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                ids = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
+                if ids.ndim not in (2, 3):
+                    raise ValueError(f"id map must be 2-D or 3-D, got {ids.shape}")
+                recon, ms = service.edit(ids)
+            except Exception as e:
+                self._send(400, str(e).encode(), "text/plain")
+                return
+            extra = {"X-Edit-Ms": f"{ms:.2f}"}
+            if "format=png" in query:
+                from PIL import Image
+
+                first = recon if recon.ndim == 2 else recon[0]
+                img = ((np.clip(first, -1, 1) + 1) * 127.5).astype(np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, format="PNG")
+                self._send(200, buf.getvalue(), "image/png", extra)
+            else:
+                buf = io.BytesIO()
+                np.save(buf, recon.astype(np.float32), allow_pickle=False)
+                self._send(200, buf.getvalue(), "application/octet-stream", extra)
+
+    return Handler
+
+
+def serve(config, host="127.0.0.1", port=8760, warm_shapes=((1, 512, 512),)):
+    """Build the service, optionally pre-compile shapes, serve forever."""
+    import numpy as np
+
+    service = EditService(config)
+    for shape in warm_shapes or ():
+        service.edit(np.zeros(shape, np.int32))
+        print(f"warmed {shape}")
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    print(f"edit service on http://{host}:{port} ({service.device})")
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    from ..utils.config import load_dotenv
+    from .run_recon import CRCConfig, LungConfig
+
+    load_dotenv()
+    parser = argparse.ArgumentParser(description="HTTP editing service")
+    parser.add_argument("--config", choices=["lung", "crc"], default="lung")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8760)
+    parser.add_argument("--warm", default="1x512x512",
+                        help="comma-separated BxHxW shapes to pre-compile, "
+                             "or 'none'")
+    args = parser.parse_args(argv)
+    config = LungConfig() if args.config == "lung" else CRCConfig()
+    warm = ()
+    if args.warm and args.warm != "none":
+        warm = tuple(
+            tuple(int(d) for d in s.split("x")) for s in args.warm.split(",")
+        )
+    serve(config, host=args.host, port=args.port, warm_shapes=warm)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

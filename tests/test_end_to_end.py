@@ -436,3 +436,65 @@ def test_run_recon_serve_loop_inotify(tmp_path, rng):
     th.join(timeout=5)
     assert n_recons() >= 3, n_recons()  # initial + both mid-wait edits
     assert elapsed < 150.0, elapsed  # compile budget, NOT 3 poll timeouts
+
+
+def test_http_edit_service(tmp_path, rng):
+    """HTTP serving surface: healthz, npy edit round trip (values identical
+    to the direct jitted path), PNG format, malformed-input 400."""
+    import io
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from medical_image_editing_tpu.cli import run_recon as rr
+    from medical_image_editing_tpu.cli.serve_http import EditService, make_handler
+
+    class TinyConfig(rr.LungConfig):
+        enc_filters = (4, 8, 16, 32, 64)
+        dec_filters = (4, 8, 16, 32, 64)
+
+        def __init__(self):
+            self.resume_checkpoint = None
+            self.edited_file_path = None
+            self.save_dir_path = str(tmp_path / "out")
+
+    service = EditService(TinyConfig())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            info = json.loads(r.read())
+        assert info["status"] == "ok" and info["dict_size"] == 10
+
+        ids = rng.integers(0, 6, (32, 32)).astype(np.int32)
+        buf = io.BytesIO(); np.save(buf, ids)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/edit", data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert float(r.headers["X-Edit-Ms"]) > 0
+            recon = np.load(io.BytesIO(r.read()))
+        assert recon.shape == (32, 32) and np.isfinite(recon).all()
+        direct, _ = service.edit(ids)
+        np.testing.assert_allclose(recon, direct, atol=1e-6)
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/edit?format=png",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            png = r.read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/edit", data=b"not an npy", method="POST")
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
