@@ -54,12 +54,14 @@ class CausalSelfAttention(nn.Module):
         q, k, v = heads("q"), heads("k"), heads("v")
 
         if cache is not None:
-            # incremental: t == 1, write k/v at `pos`, attend over cache
+            # incremental: t == 1, write k/v at `pos`, attend over cache.
+            # k/v adopt the cache dtype — a bfloat16 cache halves the decode's
+            # HBM footprint (the standard inference-serving trade)
             k_cache = jax.lax.dynamic_update_slice(
-                cache[0], k, (0, 0, pos, 0)
+                cache[0], k.astype(cache.dtype), (0, 0, pos, 0)
             )
             v_cache = jax.lax.dynamic_update_slice(
-                cache[1], v, (0, 0, pos, 0)
+                cache[1], v.astype(cache.dtype), (0, 0, pos, 0)
             )
             att = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache) / jnp.sqrt(hd)
             col = jax.lax.broadcasted_iota(jnp.int32, att.shape, 3)

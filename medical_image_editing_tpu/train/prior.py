@@ -114,13 +114,16 @@ def make_prior_sampler(
     grid_hw,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    cache_dtype=None,
 ):
     """Build a jittable sampler: (variables, key, batch ids) -> (B,H,W) ids.
 
     `lax.scan` over the KV-cache decode — the whole H*W-token generation is
     one compiled program. Sampled ids are clipped into [0, sos_token) so the
     decoder never sees the start token (it can be produced early in training
-    when the model is uncalibrated).
+    when the model is uncalibrated). `cache_dtype=jnp.bfloat16` halves the
+    KV-cache HBM footprint (the decode's dominant allocation at large
+    batch×block_size).
     """
     h, w = grid_hw
     n_tokens = h * w
@@ -131,7 +134,7 @@ def make_prior_sampler(
     )
 
     def sample(variables, key, batch: int):
-        caches = gpt.init_cache(batch)
+        caches = gpt.init_cache(batch, dtype=cache_dtype or jnp.float32)
         tok0 = jnp.full((batch, 1), sos_token, jnp.int32)
 
         def body(carry, i):

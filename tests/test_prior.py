@@ -184,3 +184,31 @@ def test_train_prior_cli_end_to_end(tmp_path):
     ids = np.load(out / "sample_ids.npy")
     assert ids.shape == (2, 64, 64)  # VQ grid is full resolution
     assert ids.min() >= 0 and ids.max() < 5
+
+
+def test_sampler_bf16_cache_matches_f32_logits():
+    """bfloat16 KV cache: decode logits stay close to the f32-cache path and
+    the scan sampler produces valid grids."""
+    from medical_image_editing_tpu.models.mingpt import forward_with_past
+
+    gpt = _gpt()
+    variables = gpt.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, gpt.config.block_size), jnp.int32), False,
+    )
+    tok = jnp.asarray([[DICT]], jnp.int32)
+    c32 = gpt.init_cache(1, dtype=jnp.float32)
+    c16 = gpt.init_cache(1, dtype=jnp.bfloat16)
+    l32, c32 = forward_with_past(gpt, variables, tok, c32, 0)
+    l16, c16 = forward_with_past(gpt, variables, tok, c16, 0)
+    assert c16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(l32), np.asarray(l16),
+                               rtol=2e-2, atol=2e-2)
+    sampler = jax.jit(
+        make_prior_sampler(gpt, sos_token=DICT, grid_hw=GRID,
+                           cache_dtype=jnp.bfloat16),
+        static_argnums=(2,),
+    )
+    ids = np.asarray(sampler(variables, jax.random.key(1), 2))
+    assert ids.shape == (2, *GRID)
+    assert ids.min() >= 0 and ids.max() < DICT

@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--n-layer", type=int, default=8)
     parser.add_argument("--n-embd", type=int, default=256)
     parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--cache-dtype", choices=["float32", "bfloat16"],
+                        default="bfloat16")
     args = parser.parse_args()
 
     dict_size = 10
@@ -52,7 +54,10 @@ def main():
     variables = jax.device_put(variables, jax.devices()[0])
 
     sampler = jax.jit(
-        make_prior_sampler(gpt, sos_token=dict_size, grid_hw=(args.grid, args.grid)),
+        make_prior_sampler(
+            gpt, sos_token=dict_size, grid_hw=(args.grid, args.grid),
+            cache_dtype=getattr(jnp, args.cache_dtype),
+        ),
         static_argnums=(2,),
     )
     ids = sampler(variables, jax.random.key(1), args.batch)
@@ -70,7 +75,8 @@ def main():
         best = max(best, args.batch * n_tokens / dt)
     print(f"prior sampling: {best:,.0f} tokens/s "
           f"(batch {args.batch}, {n_tokens} tokens/grid, "
-          f"{args.n_layer}L/{args.n_embd}d, {jax.devices()[0].device_kind})")
+          f"{args.n_layer}L/{args.n_embd}d, {args.cache_dtype} cache, "
+          f"{jax.devices()[0].device_kind})")
 
 
 if __name__ == "__main__":
