@@ -22,11 +22,9 @@ import numpy as np
 
 # Persistent compile cache: the axon tunnel makes TPU compiles minutes-slow on
 # bad days; cached executables keep the whole bench inside the driver window.
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/medimg_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from medical_image_editing_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 # Measured once with the CPU backend on this container (single core):
 # first-stage train step, 256², batch 8, flagship config → 150.4 s/step.

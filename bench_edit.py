@@ -9,11 +9,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:  # persistent compile cache (see bench.py)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/medimg_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from medical_image_editing_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def run_edit_benchmarks():

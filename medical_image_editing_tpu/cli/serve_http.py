@@ -107,9 +107,13 @@ def make_handler(service: EditService):
                 ids = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
                 if ids.ndim not in (2, 3):
                     raise ValueError(f"id map must be 2-D or 3-D, got {ids.shape}")
-                recon, ms = service.edit(ids)
-            except Exception as e:
+            except Exception as e:  # malformed request body
                 self._send(400, str(e).encode(), "text/plain")
+                return
+            try:
+                recon, ms = service.edit(ids)
+            except Exception as e:  # device/compile failure — a server error
+                self._send(500, str(e).encode(), "text/plain")
                 return
             extra = {"X-Edit-Ms": f"{ms:.2f}"}
             if "format=png" in query:

@@ -188,7 +188,8 @@ def main(argv=None):
         grids = sampler(eval_vars, key, args.sample)
         images = decode(state, grids)
         out_png = os.path.join(args.out, "samples.png")
-        save_image_grid(np.asarray(images), out_png, nrow=4)
+        # decoder output is in [-1, 1]; the grid helper expects [0, 1]
+        save_image_grid((np.asarray(images) + 1.0) / 2.0, out_png, nrow=4)
         np.save(os.path.join(args.out, "sample_ids.npy"), np.asarray(grids))
         print(f"samples: {out_png}")
     return 0

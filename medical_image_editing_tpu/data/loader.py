@@ -156,7 +156,12 @@ class DataLoader:
                 )
 
     def __len__(self):
+        """Batches per epoch FOR THIS PROCESS (DistributedSampler semantics:
+        the per-process strided shard, not the global dataset)."""
         n = len(self.dataset)
+        pcount, pidx = self._process_shard
+        if pcount > 1:
+            n = len(range(pidx, n, pcount))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -170,9 +175,9 @@ class DataLoader:
     def epoch_iterator(self, epoch: int, skip_batches: int = 0) -> Iterator[dict]:
         """Iterate epoch `epoch`, skipping its first `skip_batches` batches
         without loading them (mid-epoch resume: the skipped ones were already
-        consumed before preemption)."""
+        consumed before preemption). Honors `num_workers` like `__iter__`."""
         self.set_epoch(epoch)
-        return self._batches(skip_batches=skip_batches)
+        return self._maybe_background(self._batches(skip_batches=skip_batches))
 
     def _batches(self, skip_batches: int = 0) -> Iterator[dict]:
         n = len(self.dataset)
@@ -236,16 +241,20 @@ class DataLoader:
         }
 
     def __iter__(self) -> Iterator[dict]:
+        return self._maybe_background(self._batches())
+
+    def _maybe_background(self, gen) -> Iterator[dict]:
+        """Wrap a batch generator in the background producer thread when
+        `num_workers` > 0 (numpy IO releases the GIL)."""
         if self.num_workers <= 0:
-            yield from self._batches()
+            yield from gen
             return
-        # one background producer thread (numpy IO releases the GIL)
         q: "queue.Queue" = queue.Queue(maxsize=max(2, self.prefetch_batches))
         _sentinel = object()
 
         def produce():
             try:
-                for b in self._batches():
+                for b in gen:
                     q.put(b)
             finally:
                 q.put(_sentinel)

@@ -208,11 +208,14 @@ def validation_snapshot(
     dis_maps=None,
     to_lung_fn=None,
     to_mediastinal_fn=None,
+    forward_outputs=None,
 ):
     """Rank-0 validation recon grid. Spec: `:541-714`.
 
     dis_maps: optional (r_map, f_map) arrays from the discriminator
     (second-stage validation); zeros otherwise (`:552-561`).
+    forward_outputs: optional precomputed (recon, ids) — skips re-running
+    `forward` when the caller already evaluated it (e.g. to feed dis_maps).
     """
     if not is_main_process():
         return None
@@ -221,7 +224,8 @@ def validation_snapshot(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    recon, ids = forward(state, batch["image"])
+    recon, ids = (forward_outputs if forward_outputs is not None
+                  else forward(state, batch["image"]))
     image = np.asarray(batch["image"])
     recon = np.asarray(recon)
     ids = np.asarray(ids)

@@ -435,10 +435,13 @@ class Trainer:
         # before the preemption — skip exactly that many batches of the first
         # epoch (the loader's order is a pure function of (seed, epoch), so
         # the replayed stream matches an uninterrupted run's).
-        steps_per_epoch = len(loader)
+        steps_per_epoch = len(loader)  # per-process (sharded) batch count
         resume_skip = max(0, global_step - start_epoch * steps_per_epoch)
-        if resume_skip >= steps_per_epoch:
+        if resume_skip > steps_per_epoch:
             resume_skip = 0  # inconsistent counters; replay the full epoch
+        # resume_skip == steps_per_epoch is valid: a periodic save landed on
+        # the epoch's last batch before the epoch counter advanced — the
+        # first resumed epoch yields zero batches and rolls straight over.
         for epoch in range(start_epoch, n_epochs):
             drop_prob = jnp.float32(
                 dropblock_schedule(epoch, db_start, db_stop, db_steps)
@@ -479,16 +482,17 @@ class Trainer:
                     and save_every_n_steps
                     and global_step % save_every_n_steps == 0
                 ):
-                    saver.save(jax.device_get(state), epoch)
+                    # step-tagged: never overwrites a committed checkpoint
+                    saver.save(jax.device_get(state), epoch, step=global_step)
                 if max_steps is not None and global_step >= max_steps:
                     done = True
                     break
             if done:
                 # a max_steps break lands mid-epoch: do NOT advance the epoch
                 # counter (resume would otherwise skip the rest of this
-                # epoch's data); save a checkpoint at the current epoch.
+                # epoch's data); save step-tagged at the current epoch.
                 if saver is not None:
-                    saver.save(jax.device_get(state), epoch)
+                    saver.save(jax.device_get(state), epoch, step=global_step)
                 break
             state = state.replace(epoch=state.epoch + 1)
             if saver is not None:
@@ -553,7 +557,7 @@ class Trainer:
         `single_window_trainer.py:552-561`). None when no trained
         discriminator is part of this mode."""
         if (
-            self.training_mode not in ("second_step", "joint")
+            self.training_mode not in ("second_step", "joint_step")
             or self.dis_type != "UNetDiscriminator"
             or not state.dis_vars
         ):
@@ -583,14 +587,17 @@ class Trainer:
                 break
             try:
                 dis_maps = None
+                forward_outputs = None
                 if dis_forward is not None:
-                    recon, _ = eval_forward(state, batch["image"])
-                    dis_maps = dis_forward(state, batch["image"], recon)
+                    forward_outputs = eval_forward(state, batch["image"])
+                    dis_maps = dis_forward(state, batch["image"],
+                                           forward_outputs[0])
                 evaluate.validation_snapshot(
                     eval_forward,
                     state,
                     batch,
                     dis_maps=dis_maps,
+                    forward_outputs=forward_outputs,
                     dataset_name=str(self.config.dataset.dataset_name),
                     dict_size=self.dict_size,
                     n_save_images=int(g(self.config.save, "n_save_images", 4) or 4),

@@ -13,19 +13,36 @@ Behavioral spec (SURVEY.md §5 checkpoint/resume):
     discriminator separately (`:104-114`), or everything for full resume
     (`run_vqwnet.py:126`) — here `restore_fields` is the prefix-selective
     analogue of the reference's state_dict key surgery.
+
+Mid-epoch (periodic) saves get step-tagged names (`ckpt-epoch=E-step=S`) so
+they never overwrite a committed checkpoint in place: Orbax's `force=True`
+deletes the destination before the (possibly async) rewrite commits, which
+would create a window where a preemption loses the epoch entirely. With
+distinct names, pruning happens only after the NEXT save has confirmed a
+newer committed checkpoint, so at least one recent committed checkpoint
+exists at every instant.
 """
 
 import os
 import re
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import orbax.checkpoint as ocp
 
-_CKPT_RE = re.compile(r"ckpt-epoch=(\d+)")
+_CKPT_RE = re.compile(r"ckpt-epoch=(\d+)(?:-step=(\d+))?")
 
 
-def _ckpt_name(epoch: int) -> str:
-    return f"ckpt-epoch={epoch:04d}"
+def _ckpt_name(epoch: int, step: Optional[int] = None) -> str:
+    if step is None:
+        return f"ckpt-epoch={epoch:04d}"
+    return f"ckpt-epoch={epoch:04d}-step={step:08d}"
+
+
+def _sort_key(entry: Tuple[int, Optional[int]]):
+    """Order checkpoints by recency: an epoch-end save for epoch E holds the
+    state AFTER all of E's batches, so it outranks any step-tagged (E, s)."""
+    epoch, step = entry
+    return (epoch, float("inf") if step is None else step)
 
 
 class CheckpointManager:
@@ -48,14 +65,19 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
 
     # -- save / prune -------------------------------------------------------
-    def save(self, state, epoch: int):
-        path = os.path.join(self.directory, _ckpt_name(epoch))
+    def save(self, state, epoch: int, step: Optional[int] = None):
+        """Save. `step` marks a mid-epoch (periodic/preemption-safety) save;
+        epoch-end saves omit it."""
+        path = os.path.join(self.directory, _ckpt_name(epoch, step))
         # serialize against any in-flight async write (Orbax requires one
-        # outstanding save per checkpointer)
+        # outstanding save per checkpointer); after this, the previous save
+        # is committed, so pruning below can never leave zero checkpoints
         self._ckptr.wait_until_finished()
         self._prune()
         self._ckptr.save(path, state, force=True)
         if not self.use_async:
+            # synchronous: the new checkpoint is committed before pruning, so
+            # eager retention is safe here (async defers it to the next save)
             self._ckptr.wait_until_finished()
             self._prune()
         return path
@@ -68,18 +90,35 @@ class CheckpointManager:
         self._ckptr.wait_until_finished()
         self._prune()
 
-    def _epochs(self) -> Sequence[int]:
+    def _entries(self) -> Sequence[Tuple[int, Optional[int]]]:
         out = []
         for bn in os.listdir(self.directory):
             m = _CKPT_RE.fullmatch(bn)
             if m:
-                out.append(int(m.group(1)))
-        return sorted(out)
+                out.append(
+                    (int(m.group(1)),
+                     int(m.group(2)) if m.group(2) else None)
+                )
+        return sorted(out, key=_sort_key)
+
+    def _epochs(self) -> Sequence[int]:
+        return sorted({e for e, s in self._entries() if s is None})
 
     def _prune(self):
-        """Keep newest limit_num; older kept only every save_interval epochs.
-        Spec: `logger.py:79-91` (including the (epoch+1) % interval test)."""
+        """Epoch-end: keep newest limit_num; older kept only every
+        save_interval epochs (spec: `logger.py:79-91`, incl. the
+        (epoch+1) % interval test). Step-tagged: keep only the newest entry
+        overall if it is step-tagged — older mid-epoch saves are superseded."""
         import shutil
+
+        entries = self._entries()
+        tagged = [(e, s) for e, s in entries if s is not None]
+        keep_tagged = set()
+        if entries and entries[-1][1] is not None:
+            keep_tagged.add(entries[-1])
+        for e, s in tagged:
+            if (e, s) not in keep_tagged:
+                shutil.rmtree(os.path.join(self.directory, _ckpt_name(e, s)))
 
         epochs = self._epochs()
         if len(epochs) <= self.limit_num:
@@ -91,16 +130,29 @@ class CheckpointManager:
 
     # -- restore ------------------------------------------------------------
     def latest_epoch(self) -> Optional[int]:
-        epochs = self._epochs()
-        return epochs[-1] if epochs else None
+        """Epoch index of the most recent checkpoint (epoch-end or tagged)."""
+        entries = self._entries()
+        return entries[-1][0] if entries else None
+
+    def latest_path(self) -> Optional[str]:
+        entries = self._entries()
+        if not entries:
+            return None
+        e, s = entries[-1]
+        return os.path.join(self.directory, _ckpt_name(e, s))
 
     def restore(self, target, epoch: Optional[int] = None):
-        """Full state restore (resume_from_checkpoint parity)."""
-        if epoch is None:
-            epoch = self.latest_epoch()
-            if epoch is None:
-                raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        path = os.path.join(self.directory, _ckpt_name(epoch))
+        """Full state restore (resume_from_checkpoint parity). With `epoch`,
+        restores that epoch's most recent save; otherwise the newest overall
+        (which may be a mid-epoch step-tagged save — the trainer's resume
+        logic replays the unseen tail from `state.step`)."""
+        entries = self._entries()
+        if epoch is not None:
+            entries = [x for x in entries if x[0] == epoch]
+        if not entries:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        e, s = entries[-1]
+        path = os.path.join(self.directory, _ckpt_name(e, s))
         return self._ckptr.restore(path, target=target)
 
 
@@ -116,10 +168,12 @@ def restore_fields(ckpt_dir_or_path: str, target_state, fields: Sequence[str],
     path = ckpt_dir_or_path
     if not _CKPT_RE.search(os.path.basename(os.path.normpath(path))):
         mgr = CheckpointManager(path)
-        e = epoch if epoch is not None else mgr.latest_epoch()
-        if e is None:
-            raise FileNotFoundError(f"no checkpoints in {path}")
-        path = os.path.join(mgr.directory, _ckpt_name(e))
+        if epoch is not None:
+            path = os.path.join(mgr.directory, _ckpt_name(epoch))
+        else:
+            path = mgr.latest_path()
+            if path is None:
+                raise FileNotFoundError(f"no checkpoints in {ckpt_dir_or_path}")
     ckptr = ocp.StandardCheckpointer()
     full = ckptr.restore(os.path.abspath(path), target=target_state)
     updates = {f: getattr(full, f) for f in fields}

@@ -249,3 +249,19 @@ def test_epoch_iterator_mid_epoch_resume_replays_exact_stream(tmp_path, rng):
         not np.array_equal(a["image"], b["image"])
         for a, b in zip(full, other)
     )
+
+
+def test_len_reflects_process_shard(tmp_path, rng):
+    """__len__ counts this process's batches (DistributedSampler semantics) —
+    the trainer's mid-epoch resume math depends on it."""
+    from medical_image_editing_tpu.data import DataLoader, SyntheticSliceDataset
+
+    ds = SyntheticSliceDataset(n=20, size=8)
+    single = DataLoader(ds, batch_size=3, shuffle=False, drop_last=True,
+                        shard_by_process=False)
+    assert len(single) == 6  # 20 // 3
+    sharded = DataLoader(ds, batch_size=3, shuffle=False, drop_last=True,
+                         shard_by_process=False)
+    sharded._process_shard = (2, 1)  # process 1 of 2 → 10 samples
+    assert len(sharded) == 3  # 10 // 3
+    assert len(list(sharded)) == 3  # iteration agrees with len

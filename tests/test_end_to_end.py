@@ -343,9 +343,9 @@ def test_fit_periodic_mid_epoch_saves(crc_env, monkeypatch):
     calls = []
     orig = trainer_mod.CheckpointManager.save
 
-    def spy(self, state, epoch):
+    def spy(self, state, epoch, step=None):
         calls.append(int(jax.device_get(state.step)))
-        return orig(self, state, epoch)
+        return orig(self, state, epoch, step=step)
 
     monkeypatch.setattr(trainer_mod.CheckpointManager, "save", spy)
     import jax

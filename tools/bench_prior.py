@@ -17,11 +17,9 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import jax
 import jax.numpy as jnp
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/medimg_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from medical_image_editing_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 from medical_image_editing_tpu.models.mingpt import GPT, GPTConfig
 from medical_image_editing_tpu.train.prior import make_prior_sampler
