@@ -87,6 +87,12 @@ def main(argv=None):
 
     config = load_json(args.config)
 
+    from ..utils.config import validate_config
+
+    for w in validate_config(config, multi_window=bool(args.multiwindow),
+                             vqgan=bool(args.vqgan)):
+        warnings.warn(w)
+
     seed = g(config.run, "seed", None) or random.randint(1, 10000)
     key, seed_list = init_seed(
         list(g(config.run, "seed_list", []) or []) or [seed]

@@ -102,3 +102,96 @@ def load_dotenv(path: str = ".env") -> dict:
             parsed[key] = value
             os.environ.setdefault(key, value)
     return parsed
+
+
+def validate_config(cfg, multi_window: bool = False, vqgan: bool = False):
+    """Fail fast with actionable messages on the config mistakes that
+    otherwise surface as deep stack traces mid-init (e.g. a UNet
+    discriminator resolution the BigGAN arch table doesn't contain, which
+    the reference only hits inside model construction,
+    `unet_discriminator.py:377-389`). Returns a list of warning strings for
+    non-fatal oddities; raises ValueError on definite errors."""
+    problems = []
+    warnings_ = []
+    g = getattr_else_none
+
+    run = g(cfg, "run")
+    ds = g(cfg, "dataset")
+    model = g(cfg, "model")
+    if run is None or ds is None or model is None:
+        raise ValueError("config must contain 'run', 'dataset' and 'model' sections")
+
+    mode = str(g(run, "training_mode", ""))
+    known_modes = {"first_step", "second_step", "joint_step", "inference", "test"}
+    if mode not in known_modes:
+        problems.append(
+            f"run.training_mode={mode!r} is not one of {sorted(known_modes)}"
+        )
+    if mode == "joint_step" and not multi_window:
+        problems.append("training_mode 'joint_step' requires the multi-window "
+                        "trainer (-w flag)")
+
+    name = str(g(ds, "dataset_name", ""))
+    known_ds = {"MICCAIBraTSDataset", "NCCLungDataset", "CRCDataset",
+                "SyntheticSliceDataset"}
+    if name not in known_ds:
+        problems.append(f"dataset.dataset_name={name!r} is not one of {sorted(known_ds)}")
+    if name == "MICCAIBraTSDataset" and not g(ds, "modality"):
+        problems.append("MICCAIBraTSDataset requires dataset.modality")
+    if name == "NCCLungDataset":
+        missing = [k for k in ("window_width", "window_center", "window_scale")
+                   if g(ds, k) is None]
+        if missing:
+            warnings_.append(
+                f"NCCLungDataset without dataset.{'/'.join(missing)}: slices "
+                "load un-windowed (raw HU)"
+            )
+
+    image_size = g(ds, "image_size")
+    hw = None
+    if image_size:
+        hw = [int(s) for s in image_size]
+        vqm = g(model, "vqmodel")
+        if vqm is not None and not vqgan:
+            filters = list(g(vqm, "enc_filters", []) or [])
+            if filters:
+                down = 2 ** (len(filters) - 1)
+                for s in hw:
+                    if s % down != 0:
+                        problems.append(
+                            f"image_size {s} not divisible by the encoder's "
+                            f"downsampling factor {down} "
+                            f"(len(enc_filters)={len(filters)})"
+                        )
+
+    dis = g(model, "dis")
+    needs_dis = mode in {"second_step", "joint_step"} or vqgan
+    if needs_dis and dis is not None:
+        if str(g(dis, "model_name", "")) == "UNetDiscriminator":
+            res = g(dis, "resolution")
+            if res is not None and int(res) not in (128, 256, 512):
+                problems.append(
+                    f"UNetDiscriminator resolution must be 128/256/512 "
+                    f"(D_unet_arch table), got {res}"
+                )
+            if hw and res is not None and int(res) != hw[0]:
+                warnings_.append(
+                    f"dis.resolution={res} != dataset.image_size[0]={hw[0]} — "
+                    "the discriminator arch is chosen for a different size"
+                )
+
+    loss = g(cfg, "loss")
+    if loss is not None and bool(g(loss, "use_perceptual_loss")):
+        import os as _os
+
+        if not (_os.environ.get("MEDIMG_VGG19_NPZ") or
+                _os.environ.get("MEDIMG_LPIPS_NPZ")):
+            warnings_.append(
+                "use_perceptual_loss=true without MEDIMG_VGG19_NPZ/"
+                "MEDIMG_LPIPS_NPZ: training uses the seeded random-feature "
+                "fallback, not the reference's learned metric"
+            )
+
+    if problems:
+        raise ValueError("invalid config:\n  - " + "\n  - ".join(problems))
+    return warnings_

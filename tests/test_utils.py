@@ -191,3 +191,61 @@ def test_fswatch_wakes_on_write(tmp_path):
         other.write_bytes(b"v2")
         other.rename(target)
         assert w.wait(5.0) is True
+
+
+def test_validate_config_catches_common_mistakes():
+    import glob
+
+    import pytest as _pytest
+
+    from medical_image_editing_tpu.utils.config import load_json, to_config, validate_config
+
+    # every shipped config validates clean
+    for p in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                           "configs", "*.json"))):
+        validate_config(load_json(p), multi_window="multiwindow" in p,
+                        vqgan="vqgan" in p)
+
+    base = {
+        "run": {"training_mode": "second_step"},
+        "dataset": {"dataset_name": "CRCDataset", "image_size": [32, 32]},
+        "model": {
+            "vqmodel": {"enc_filters": [4, 8, 16, 32, 64]},
+            "dis": {"model_name": "UNetDiscriminator", "resolution": 32},
+        },
+    }
+    # unsupported UNetDiscriminator resolution -> clear error, not a deep trace
+    with _pytest.raises(ValueError, match="128/256/512"):
+        validate_config(to_config(base))
+
+    bad_mode = dict(base, run={"training_mode": "trian"})
+    with _pytest.raises(ValueError, match="training_mode"):
+        validate_config(to_config(bad_mode))
+
+    # image size not divisible by the encoder's downsampling factor
+    bad_size = {
+        "run": {"training_mode": "first_step"},
+        "dataset": {"dataset_name": "CRCDataset", "image_size": [50, 50]},
+        "model": {"vqmodel": {"enc_filters": [4, 8, 16, 32, 64]}},
+    }
+    with _pytest.raises(ValueError, match="downsampling"):
+        validate_config(to_config(bad_size))
+
+    # BraTS without modality
+    brats = {
+        "run": {"training_mode": "first_step"},
+        "dataset": {"dataset_name": "MICCAIBraTSDataset", "image_size": [64, 64]},
+        "model": {"vqmodel": {"enc_filters": [4, 8]}},
+    }
+    with _pytest.raises(ValueError, match="modality"):
+        validate_config(to_config(brats))
+
+    # perceptual loss without weights -> warning, not error
+    warn_cfg = {
+        "run": {"training_mode": "first_step"},
+        "dataset": {"dataset_name": "CRCDataset", "image_size": [64, 64]},
+        "model": {"vqmodel": {"enc_filters": [4, 8]}},
+        "loss": {"use_perceptual_loss": True},
+    }
+    ws = validate_config(to_config(warn_cfg))
+    assert any("fallback" in w for w in ws)
