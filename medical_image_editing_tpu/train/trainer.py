@@ -613,6 +613,19 @@ class Trainer:
     # ------------------------------------------------------------------
     # test / inference
     # ------------------------------------------------------------------
+    def _shard_eval_batch(self, image):
+        """Shard an eval batch over the data axis (replicated-state GSPMD
+        evaluation: per-batch metrics are global means, so values are
+        identical to single-device — only the compute is split). Batches not
+        divisible by the device count (e.g. the ragged test tail) stay
+        unsharded."""
+        image = jnp.asarray(image)
+        if self.mesh is None or image.shape[0] % self.n_devices != 0:
+            return image
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(image, NamedSharding(self.mesh, P(DATA_AXIS)))
+
     def test(self, state, save_dir_path: Optional[str] = None):
         mode = str(self.config.run.training_mode)
         loader = self.dataloader("test")
@@ -649,7 +662,7 @@ class Trainer:
 
             outputs = []
             for i, batch in enumerate(loader):
-                m, recon, ids = fm(state, jnp.asarray(batch["image"]))
+                m, recon, ids = fm(state, self._shard_eval_batch(batch["image"]))
                 outputs.append({k: float(v) for k, v in m.items()})
             if save_dir_path is None and self.logger is not None:
                 save_dir_path = self.logger.log_dir
@@ -672,6 +685,8 @@ class Trainer:
         fm = evaluate.make_test_metrics_fn(self.encoder, self.decoder, self.dict_size)
         outputs = []
         for i, batch in enumerate(loader):
+            batch = dict(batch)
+            batch["image"] = self._shard_eval_batch(batch["image"])
             out = evaluate.test_step(
                 fm, state, batch, i,
                 dataset_name=str(self.config.dataset.dataset_name),

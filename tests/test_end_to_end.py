@@ -498,3 +498,26 @@ def test_http_edit_service(tmp_path, rng):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_sharded_eval_matches_single_device(crc_env):
+    """Data-parallel test(): metrics identical to a single-device run (the
+    per-batch metric is a global mean; GSPMD only splits the compute)."""
+    import jax
+
+    tmp_path, cfg_path, cfg = crc_env
+    from medical_image_editing_tpu.train.trainer import Trainer
+    from medical_image_editing_tpu.utils.config import to_config
+
+    multi = Trainer(to_config(cfg), logger=None)
+    assert multi.mesh is not None  # conftest's virtual mesh engaged
+    state = multi.init_state(32, 2)
+    out_multi, _ = multi.test(state, save_dir_path=str(tmp_path / "m"))
+
+    single = Trainer(to_config(cfg), logger=None,
+                     devices=jax.devices()[:1])
+    out_single, _ = single.test(state, save_dir_path=str(tmp_path / "s"))
+    assert len(out_multi) == len(out_single) > 0
+    for a, b in zip(out_multi, out_single):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6)
