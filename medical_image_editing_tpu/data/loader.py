@@ -177,9 +177,11 @@ class DataLoader:
         without loading them (mid-epoch resume: the skipped ones were already
         consumed before preemption). Honors `num_workers` like `__iter__`."""
         self.set_epoch(epoch)
-        return self._maybe_background(self._batches(skip_batches=skip_batches))
+        return self._iterate(skip_batches=skip_batches)
 
-    def _batches(self, skip_batches: int = 0) -> Iterator[dict]:
+    def _batch_specs(self, skip_batches: int = 0):
+        """[(bi, idx array)] for the current epoch (advances the epoch
+        counter, like starting an iteration does)."""
         n = len(self.dataset)
         epoch = self._epoch
         rng = np.random.default_rng(self._seed + epoch)
@@ -189,31 +191,41 @@ class DataLoader:
             order = order[pidx::pcount]
             n = len(order)
         self._epoch += 1
+        specs = []
         for bi, start in enumerate(range(0, n, self.batch_size)):
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
-                return
+                break
             if bi < skip_batches:
                 continue
-            if self._native:
-                batch = self._native_batch(idx)
-                if batch is not None:
-                    yield batch
-                    continue
-            # per-batch transform rng is a pure function of
-            # (seed, epoch, batch index) so a mid-epoch resume replays the
-            # exact augmentation stream of an uninterrupted run
-            sample_rng = np.random.default_rng(
-                np.random.SeedSequence([self._seed & 0xFFFFFFFF, epoch, bi])
-            )
-            samples = []
-            for i in idx:
-                s = self.dataset[int(i)]
-                if self.transform is not None:
-                    s = dict(s)
-                    s["image"] = self.transform(sample_rng, s["image"])
-                samples.append(s)
-            yield _collate(samples)
+            specs.append((bi, idx))
+        return epoch, specs
+
+    def _load_batch(self, epoch: int, bi: int, idx) -> dict:
+        """Materialize one batch. Pure in (epoch, bi, idx): the transform rng
+        is a function of (seed, epoch, batch index), so batches can be built
+        on any worker in any order and a mid-epoch resume replays the exact
+        augmentation stream of an uninterrupted run."""
+        if self._native:
+            batch = self._native_batch(idx)
+            if batch is not None:
+                return batch
+        sample_rng = np.random.default_rng(
+            np.random.SeedSequence([self._seed & 0xFFFFFFFF, epoch, bi])
+        )
+        samples = []
+        for i in idx:
+            s = self.dataset[int(i)]
+            if self.transform is not None:
+                s = dict(s)
+                s["image"] = self.transform(sample_rng, s["image"])
+            samples.append(s)
+        return _collate(samples)
+
+    def _batches(self, skip_batches: int = 0) -> Iterator[dict]:
+        epoch, specs = self._batch_specs(skip_batches)
+        for bi, idx in specs:
+            yield self._load_batch(epoch, bi, idx)
 
     def _native_batch(self, idx):
         """C++ thread-pool batch load (native/medimg_io.cpp); None → fallback."""
@@ -241,16 +253,42 @@ class DataLoader:
         }
 
     def __iter__(self) -> Iterator[dict]:
-        return self._maybe_background(self._batches())
+        return self._iterate(skip_batches=0)
 
-    def _maybe_background(self, gen) -> Iterator[dict]:
-        """Wrap a batch generator in the background producer thread when
-        `num_workers` > 0 (numpy IO releases the GIL)."""
+    def _iterate(self, skip_batches: int = 0) -> Iterator[dict]:
+        """num_workers semantics (torch DataLoader parity, threads instead of
+        processes — numpy/scipy IO and the C++ loader release the GIL):
+        0 → synchronous; 1 → one background producer; N → a pool of N
+        workers building whole batches concurrently, yielded IN ORDER (the
+        per-batch (seed, epoch, bi) rng makes results order-independent)."""
         if self.num_workers <= 0:
-            yield from gen
+            yield from self._batches(skip_batches=skip_batches)
             return
+        if self.num_workers == 1:
+            yield from self._background_single(skip_batches)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        epoch, specs = self._batch_specs(skip_batches)
+        window = self.num_workers + max(2, self.prefetch_batches)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = {}
+            submit_iter = iter(specs)
+            for _ in range(min(window, len(specs))):
+                bi, idx = next(submit_iter)
+                pending[bi] = pool.submit(self._load_batch, epoch, bi, idx)
+            for bi, _ in specs:
+                yield pending.pop(bi).result()
+                try:
+                    nbi, nidx = next(submit_iter)
+                except StopIteration:
+                    continue
+                pending[nbi] = pool.submit(self._load_batch, epoch, nbi, nidx)
+
+    def _background_single(self, skip_batches: int) -> Iterator[dict]:
         q: "queue.Queue" = queue.Queue(maxsize=max(2, self.prefetch_batches))
         _sentinel = object()
+        gen = self._batches(skip_batches=skip_batches)
 
         def produce():
             try:

@@ -265,3 +265,36 @@ def test_len_reflects_process_shard(tmp_path, rng):
     sharded._process_shard = (2, 1)  # process 1 of 2 → 10 samples
     assert len(sharded) == 3  # 10 // 3
     assert len(list(sharded)) == 3  # iteration agrees with len
+
+
+def test_multi_worker_loader_matches_serial(tmp_path, rng):
+    """num_workers N>1: a thread pool builds whole batches concurrently but
+    yields them in order, bit-identical to the serial loader (per-batch rng
+    is a pure function of (seed, epoch, bi))."""
+    from medical_image_editing_tpu.data import get_data_loader
+
+    for p in range(3):
+        pdir = tmp_path / f"P{p:03d}_x"
+        pdir.mkdir()
+        for s in range(8):
+            np.save(pdir / f"{s:04d}.npy",
+                    rng.uniform(0, 255, (16, 16)).astype(np.float32))
+    mk = lambda w: get_data_loader(
+        "train", "CRCDataset", str(tmp_path), batch_size=4, drop_last=True,
+        num_workers=w,
+        augmentations=["RandomAffineTransform", "RandomHorizontalFlipTransform"],
+        seed=5,
+    )
+    serial = list(mk(0).epoch_iterator(epoch=1))
+    assert len(serial) == 6
+    for w in (1, 3):
+        parallel = list(mk(w).epoch_iterator(epoch=1))
+        assert len(parallel) == len(serial)
+        for a, b in zip(serial, parallel):
+            np.testing.assert_array_equal(a["image"], b["image"])
+            assert a["patient_id"] == b["patient_id"]
+    # mid-epoch skip composes with workers
+    skipped = list(mk(3).epoch_iterator(epoch=1, skip_batches=2))
+    assert len(skipped) == 4
+    for a, b in zip(serial[2:], skipped):
+        np.testing.assert_array_equal(a["image"], b["image"])
