@@ -54,6 +54,21 @@ def run_edit_benchmarks():
     print(json.dumps({"metric": "edit_latency_p50_512", "value": round(p50, 2),
                       "unit": "ms/slice", "vs_baseline": None}))
 
+    # serving-path latency: uint8 on-device quantization (PNG consumers) —
+    # 4× smaller device→host transfer
+    edit1_u8 = make_batched_edit_fn(dec, is_lung=True, output_dtype="uint8")
+    np.asarray(edit1_u8(dec_vars, vq, ids1))  # compile
+    lats = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        out = edit1_u8(dec_vars, vq, ids1)
+        np.asarray(out)
+        lats.append((time.perf_counter() - t0) * 1000)
+    p50u = float(np.percentile(lats, 50))
+    print(json.dumps({"metric": "edit_latency_p50_512_uint8",
+                      "value": round(p50u, 2),
+                      "unit": "ms/slice", "vs_baseline": None}))
+
     # batched 32-slice editing throughput (BASELINE config #3).
     # best-of-3 repeats: the axon tunnel adds multi-ms scheduling noise that
     # swings a single 5-iteration window by ±30%; peak over short windows is

@@ -28,12 +28,17 @@ def make_batched_edit_fn(
     is_lung: bool = False,
     dataset_window=(4096, 0.0, 2.0),
     mesh=None,
+    output_dtype=None,
 ):
     """Returns edit(dec_vars, vq_state, id_maps (B,H,W) int32) → recon (B,H,W).
 
     Per-sample mask/rescale parity with `run_recon.py:182-192` (the mean
     rescale is per-slice, matching the reference's single-slice math). With
     `mesh`, the batch is sharded over the data axis (state replicated).
+
+    output_dtype="uint8" quantizes [-1,1]→[0,255] ON DEVICE: display/PNG
+    consumers need uint8 anyway, and the 4×-smaller device→host transfer
+    cuts measured p50 edit latency ~13% at 512² (PERF.md).
     """
 
     def edit(dec_vars, vq_state, id_maps):
@@ -54,7 +59,10 @@ def make_batched_edit_fn(
             dw, dc, s = dataset_window
             hu = denormalize(recon, dw, dc, s)
             recon = normalize(hu, 1500, -550, 2.0)
-        return recon[..., 0]
+        recon = recon[..., 0]
+        if output_dtype == "uint8":
+            recon = ((jnp.clip(recon, -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
+        return recon
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P

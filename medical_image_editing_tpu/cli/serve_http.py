@@ -29,41 +29,48 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 def build_service(config):
-    """(edit_fn, state, meta) from a run_recon-style config object."""
-    from .edit_batch import make_batched_edit_fn
+    """(decoder, state) from a run_recon-style config object."""
     from .run_recon import load_model
 
     _, decoder, state = load_model(config)
-    edit_fn = make_batched_edit_fn(
-        decoder,
-        is_lung=config.config_name == "LungConfig",
-        dataset_window=(config.window_width, config.window_center,
-                        config.window_scale),
-    )
-    return edit_fn, state
+    return decoder, state
 
 
 class EditService:
     def __init__(self, config):
         import jax
 
+        from .edit_batch import make_batched_edit_fn
+
         self.config = config
-        self.edit_fn, self.state = build_service(config)
+        self.decoder, self.state = build_service(config)
+        kw = dict(
+            is_lung=config.config_name == "LungConfig",
+            dataset_window=(config.window_width, config.window_center,
+                            config.window_scale),
+        )
+        self.edit_fn = make_batched_edit_fn(self.decoder, **kw)
+        # PNG responses decode straight to uint8 on device: 4× smaller
+        # device→host transfer (~13% lower p50 at 512², PERF.md)
+        self.edit_fn_u8 = make_batched_edit_fn(
+            self.decoder, output_dtype="uint8", **kw
+        )
         self.device = str(jax.devices()[0])
         self._lock = threading.Lock()  # serialize device dispatch per request
 
-    def edit(self, ids):
+    def edit(self, ids, uint8: bool = False):
         import jax.numpy as jnp
         import numpy as np
 
         squeeze = ids.ndim == 2
         if squeeze:
             ids = ids[None]
+        fn = self.edit_fn_u8 if uint8 else self.edit_fn
         t0 = time.perf_counter()
         with self._lock:
             recon = np.asarray(
-                self.edit_fn(self.state.dec_vars, self.state.vq,
-                             jnp.asarray(ids.astype(np.int32)))
+                fn(self.state.dec_vars, self.state.vq,
+                   jnp.asarray(ids.astype(np.int32)))
             )
         ms = (time.perf_counter() - t0) * 1000.0
         return (recon[0] if squeeze else recon), ms
@@ -110,17 +117,17 @@ def make_handler(service: EditService):
             except Exception as e:  # malformed request body
                 self._send(400, str(e).encode(), "text/plain")
                 return
+            want_png = "format=png" in query
             try:
-                recon, ms = service.edit(ids)
+                recon, ms = service.edit(ids, uint8=want_png)
             except Exception as e:  # device/compile failure — a server error
                 self._send(500, str(e).encode(), "text/plain")
                 return
             extra = {"X-Edit-Ms": f"{ms:.2f}"}
-            if "format=png" in query:
+            if want_png:
                 from PIL import Image
 
-                first = recon if recon.ndim == 2 else recon[0]
-                img = ((np.clip(first, -1, 1) + 1) * 127.5).astype(np.uint8)
+                img = recon if recon.ndim == 2 else recon[0]
                 buf = io.BytesIO()
                 Image.fromarray(img).save(buf, format="PNG")
                 self._send(200, buf.getvalue(), "image/png", extra)
@@ -139,6 +146,7 @@ def serve(config, host="127.0.0.1", port=8760, warm_shapes=((1, 512, 512),)):
     service = EditService(config)
     for shape in warm_shapes or ():
         service.edit(np.zeros(shape, np.int32))
+        service.edit(np.zeros(shape, np.int32), uint8=True)
         print(f"warmed {shape}")
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"edit service on http://{host}:{port} ({service.device})")

@@ -72,3 +72,30 @@ def test_batched_edit_data_parallel(rng):
     a = np.asarray(edit_dp(s["dec_vars"], s["vq"], ids))
     b = np.asarray(edit_sp(s["dec_vars"], s["vq"], ids))
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_uint8_output_matches_quantized_f32(rng):
+    """output_dtype='uint8' equals quantizing the f32 output on host."""
+    import jax
+
+    from medical_image_editing_tpu.cli.edit_batch import make_batched_edit_fn
+    from medical_image_editing_tpu.models import UNetDecoder
+    from medical_image_editing_tpu.models.unet_encoder import EncoderWithVQ
+
+    enc = EncoderWithVQ(filters=(4, 8, 16, 32, 64), dict_size=6, momentum=0.9)
+    dec = UNetDecoder(out_channels=1, filters=(4, 8, 16, 32, 64),
+                      dropped_skip_layers=(), use_pixel_shuffle=False)
+    x0 = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    enc_vars, vq = enc.init(jax.random.key(0), x0)
+    q, *_ = enc(enc_vars, vq, x0, train=False)
+    dec_vars = dec.init({"params": jax.random.key(1),
+                         "dropblock": jax.random.key(2)}, q, train=False)
+    ids = jnp.asarray(rng.integers(0, 7, (2, 32, 32)).astype(np.int32))
+    f32 = make_batched_edit_fn(dec, is_lung=True)
+    u8 = make_batched_edit_fn(dec, is_lung=True, output_dtype="uint8")
+    a = np.asarray(u8(dec_vars, vq, ids))
+    b = ((np.clip(np.asarray(f32(dec_vars, vq, ids)), -1, 1) + 1) * 127.5
+         ).astype(np.uint8)
+    assert a.dtype == np.uint8
+    # float rounding at the quantization boundary can differ by 1 LSB
+    assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
