@@ -90,6 +90,21 @@ def run_edit_benchmarks():
                       "value": round(best, 1),
                       "unit": "slices/sec/chip", "vs_baseline": None}))
 
+    # uint8 serving variant (PNG/display consumers): 4× less host transfer
+    edit32_u8 = make_batched_edit_fn(dec, is_lung=True, output_dtype="uint8")
+    np.asarray(edit32_u8(dec_vars, vq, ids32))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = edit32_u8(dec_vars, vq, ids32)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        best = max(best, n * 32 / dt)
+    print(json.dumps({"metric": "edit_throughput_batched32_512_uint8",
+                      "value": round(best, 1),
+                      "unit": "slices/sec/chip", "vs_baseline": None}))
+
 
 def main():
     run_edit_benchmarks()
