@@ -123,3 +123,36 @@ def edit_study(
             nifti.save(nifti.to_nifti_array(rec), os.path.join(out_dir, out))
             written.append(out)
     return written
+
+
+def main(argv=None):
+    """CLI: decode every painted `label_*.nii.gz` in a directory, batched."""
+    import argparse
+
+    from ..utils.config import load_dotenv
+    from .run_recon import CRCConfig, LungConfig, load_model
+
+    load_dotenv()  # LUNG_CKPT / CRC_CKPT etc.
+    parser = argparse.ArgumentParser(description="Batched codebook-swap editing")
+    parser.add_argument("--config", choices=["lung", "crc"], default="lung")
+    parser.add_argument("--label-dir", required=True,
+                        help="directory of label_*.nii.gz painted id maps")
+    parser.add_argument("--out-dir", required=True)
+    parser.add_argument("--batch-size", type=int, default=32)
+    args = parser.parse_args(argv)
+
+    config = LungConfig() if args.config == "lung" else CRCConfig()
+    _, decoder, state = load_model(config)
+    written = edit_study(
+        decoder, state, args.label_dir, args.out_dir,
+        batch_size=args.batch_size,
+        is_lung=config.config_name == "LungConfig",
+        dataset_window=(config.window_width, config.window_center,
+                        config.window_scale),
+    )
+    print(f"{len(written)} edited volumes -> {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -264,15 +264,20 @@ class DataLoader:
         if self.num_workers <= 0:
             yield from self._batches(skip_batches=skip_batches)
             return
-        if self.num_workers == 1:
+        if self.num_workers == 1 or self._native:
+            # the native path is already a hardware_concurrency C++ thread
+            # pool per batch — stacking N python workers on top would
+            # oversubscribe the host N×cores deep; one background producer
+            # suffices to overlap it with device compute
             yield from self._background_single(skip_batches)
             return
         from concurrent.futures import ThreadPoolExecutor
 
         epoch, specs = self._batch_specs(skip_batches)
         window = self.num_workers + max(2, self.prefetch_batches)
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            pending = {}
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        pending = {}
+        try:
             submit_iter = iter(specs)
             for _ in range(min(window, len(specs))):
                 bi, idx = next(submit_iter)
@@ -284,6 +289,10 @@ class DataLoader:
                 except StopIteration:
                     continue
                 pending[nbi] = pool.submit(self._load_batch, epoch, nbi, nidx)
+        finally:
+            # abandoned mid-epoch (max_steps break): drop queued work and do
+            # NOT block on in-flight batches — the consumer is gone
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def _background_single(self, skip_batches: int) -> Iterator[dict]:
         q: "queue.Queue" = queue.Queue(maxsize=max(2, self.prefetch_batches))

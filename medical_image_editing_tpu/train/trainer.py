@@ -618,12 +618,19 @@ class Trainer:
         evaluation: per-batch metrics are global means, so values are
         identical to single-device — only the compute is split). Batches not
         divisible by the device count (e.g. the ragged test tail) stay
-        unsharded."""
-        image = jnp.asarray(image)
-        if self.mesh is None or image.shape[0] % self.n_devices != 0:
+        unsharded, as do multi-process meshes (each process holds a DIFFERENT
+        local shard of the sample space — device_put onto a global mesh would
+        assemble a garbage global batch) and the single-device case (where
+        the device round-trip would only tax the host export path)."""
+        if self.mesh is None:
             return image
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from ..parallel.mesh import _mesh_is_local
+
+        image = jnp.asarray(image)
+        if not _mesh_is_local(self.mesh) or image.shape[0] % self.n_devices != 0:
+            return image
         return jax.device_put(image, NamedSharding(self.mesh, P(DATA_AXIS)))
 
     def test(self, state, save_dir_path: Optional[str] = None):

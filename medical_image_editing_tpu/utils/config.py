@@ -150,7 +150,11 @@ def validate_config(cfg, multi_window: bool = False, vqgan: bool = False):
     image_size = g(ds, "image_size")
     hw = None
     if image_size:
-        hw = [int(s) for s in image_size]
+        # the CLI accepts both [H, W] and a bare int (run_vqwnet._infer_image_size)
+        if isinstance(image_size, (int, float)):
+            hw = [int(image_size)] * 2
+        else:
+            hw = [int(s) for s in image_size]
         vqm = g(model, "vqmodel")
         if vqm is not None and not vqgan:
             filters = list(g(vqm, "enc_filters", []) or [])
@@ -165,8 +169,13 @@ def validate_config(cfg, multi_window: bool = False, vqgan: bool = False):
                         )
 
     dis = g(model, "dis")
-    needs_dis = mode in {"second_step", "joint_step"} or vqgan
-    if needs_dis and dis is not None:
+    if dis is None:
+        # the Trainer constructs the discriminator unconditionally
+        problems.append("config must contain model.dis (the trainer builds "
+                        "the discriminator for every mode)")
+    else:
+        # checked for EVERY mode: the trainer builds + inits the
+        # discriminator even in first_step/inference
         if str(g(dis, "model_name", "")) == "UNetDiscriminator":
             res = g(dis, "resolution")
             if res is not None and int(res) not in (128, 256, 512):

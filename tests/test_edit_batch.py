@@ -99,3 +99,41 @@ def test_uint8_output_matches_quantized_f32(rng):
     assert a.dtype == np.uint8
     # float rounding at the quantization boundary can differ by 1 LSB
     assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
+def test_edit_batch_cli_entrypoint(tmp_path, rng, monkeypatch):
+    """The `edit-batch` console script's main() drives edit_study end to end."""
+    import pytest as _pytest
+
+    from medical_image_editing_tpu.cli import edit_batch as eb
+    from medical_image_editing_tpu.cli import run_recon as rr
+    from medical_image_editing_tpu.utils import nifti
+
+    with _pytest.raises(SystemExit) as e:
+        eb.main(["--help"])
+    assert e.value.code == 0
+
+    class TinyConfig(rr.LungConfig):
+        enc_filters = (4, 8, 16, 32, 64)
+        dec_filters = (4, 8, 16, 32, 64)
+
+        def __init__(self):
+            self.resume_checkpoint = None
+            self.edited_file_path = None
+            self.save_dir_path = str(tmp_path / "unused")
+
+    import medical_image_editing_tpu.cli.run_recon as rr_mod
+
+    monkeypatch.setattr(rr_mod, "LungConfig", TinyConfig)
+    label_dir = tmp_path / "labels"
+    label_dir.mkdir()
+    for i in range(3):
+        ids = rng.integers(0, 6, (32, 32)).astype(np.float64)
+        nifti.save(np.transpose(ids[::-1, ::-1]),
+                   str(label_dir / f"label_{i:03d}.nii.gz"))
+    out_dir = tmp_path / "out"
+    rc = eb.main(["--config", "lung", "--label-dir", str(label_dir),
+                  "--out-dir", str(out_dir), "--batch-size", "2"])
+    assert rc == 0
+    outs = sorted(os.listdir(out_dir))
+    assert outs == [f"edited_{i:03d}.nii.gz" for i in range(3)]

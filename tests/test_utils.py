@@ -223,10 +223,13 @@ def test_validate_config_catches_common_mistakes():
         validate_config(to_config(bad_mode))
 
     # image size not divisible by the encoder's downsampling factor
+    tiny_dis = {"model_name": "NLayerDiscriminator", "n_filters": 4,
+                "n_layers": 1, "normalization": "instancenorm"}
     bad_size = {
         "run": {"training_mode": "first_step"},
         "dataset": {"dataset_name": "CRCDataset", "image_size": [50, 50]},
-        "model": {"vqmodel": {"enc_filters": [4, 8, 16, 32, 64]}},
+        "model": {"vqmodel": {"enc_filters": [4, 8, 16, 32, 64]},
+                  "dis": tiny_dis},
     }
     with _pytest.raises(ValueError, match="downsampling"):
         validate_config(to_config(bad_size))
@@ -235,7 +238,7 @@ def test_validate_config_catches_common_mistakes():
     brats = {
         "run": {"training_mode": "first_step"},
         "dataset": {"dataset_name": "MICCAIBraTSDataset", "image_size": [64, 64]},
-        "model": {"vqmodel": {"enc_filters": [4, 8]}},
+        "model": {"vqmodel": {"enc_filters": [4, 8]}, "dis": tiny_dis},
     }
     with _pytest.raises(ValueError, match="modality"):
         validate_config(to_config(brats))
@@ -244,8 +247,28 @@ def test_validate_config_catches_common_mistakes():
     warn_cfg = {
         "run": {"training_mode": "first_step"},
         "dataset": {"dataset_name": "CRCDataset", "image_size": [64, 64]},
-        "model": {"vqmodel": {"enc_filters": [4, 8]}},
+        "model": {"vqmodel": {"enc_filters": [4, 8]}, "dis": tiny_dis},
         "loss": {"use_perceptual_loss": True},
     }
     ws = validate_config(to_config(warn_cfg))
     assert any("fallback" in w for w in ws)
+
+    # scalar image_size is accepted (run_vqwnet._infer_image_size parity)
+    scalar_cfg = dict(warn_cfg)
+    scalar_cfg = {**warn_cfg, "dataset": {"dataset_name": "CRCDataset",
+                                          "image_size": 64}, "loss": {}}
+    validate_config(to_config(scalar_cfg))
+
+    # a missing model.dis is flagged (the trainer builds it for every mode)
+    no_dis = {**warn_cfg, "model": {"vqmodel": {"enc_filters": [4, 8]}}}
+    with _pytest.raises(ValueError, match="model.dis"):
+        validate_config(to_config(no_dis))
+
+    # impossible UNetDiscriminator resolution caught even in first_step
+    # (the trainer inits the discriminator regardless of mode)
+    fs_bad_dis = {**warn_cfg, "model": {
+        "vqmodel": {"enc_filters": [4, 8]},
+        "dis": {"model_name": "UNetDiscriminator", "resolution": 64},
+    }}
+    with _pytest.raises(ValueError, match="128/256/512"):
+        validate_config(to_config(fs_bad_dis))
