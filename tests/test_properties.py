@@ -123,3 +123,49 @@ def test_one_hot_drop_background(seed, k):
     np.testing.assert_array_equal(np.asarray(oh.sum(-1)), np.ones((2, 8, 8)))
     dropped = np.asarray(oh[..., 1:].sum(-1))
     np.testing.assert_array_equal(dropped, np.asarray(ids) != 0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000),
+       st.integers(min_value=4, max_value=40),
+       st.integers(min_value=4, max_value=40))
+def test_cutmix_box_properties(seed, h, w):
+    """Box corners are ordered and in range; the mask is the exact iota
+    realization of python-slice semantics; the box area tracks 1−lam (the
+    beta-sampled mix ratio) up to rounding/clipping at the borders."""
+    import jax
+
+    from medical_image_editing_tpu.ops.cutmix import (
+        cutmix,
+        cutmix_coordinates,
+        cutmix_mask,
+        mask_src_tgt,
+    )
+
+    coords, lam = cutmix_coordinates(jax.random.key(seed), h, w)
+    ((y0, y1), (x0, x1)) = coords
+    y0, y1, x0, x1 = (int(v) for v in (y0, y1, x0, x1))
+    assert 0 <= y0 <= y1 <= h and 0 <= x0 <= x1 <= w
+
+    mask = np.asarray(cutmix_mask(coords, h, w))
+    ref = np.zeros((h, w), np.float32)
+    ref[y0:y1, x0:x1] = 1.0
+    np.testing.assert_array_equal(mask, ref)
+
+    # un-clipped box area is h*sqrt(1-lam) * w*sqrt(1-lam) = h*w*(1-lam);
+    # the realized mask only shrinks via border clipping (+1px rounding each edge)
+    area = mask.sum() / (h * w)
+    assert area <= (1.0 - float(lam)) + (2 * (h + w)) / (h * w) + 1e-6
+
+    rng = np.random.default_rng(seed)
+    src = jnp.asarray(rng.normal(size=(2, h, w, 1)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(2, h, w, 1)).astype(np.float32))
+    mixed = np.asarray(cutmix(src, tgt, jnp.asarray(mask)))
+    # inside the box → target, outside → source (exact)
+    np.testing.assert_array_equal(mixed[:, y0:y1, x0:x1], np.asarray(tgt)[:, y0:y1, x0:x1])
+    inv = 1 - ref.astype(bool)
+    np.testing.assert_array_equal(mixed[:, inv.astype(bool)], np.asarray(src)[:, inv.astype(bool)])
+    # mask_src_tgt is cutmix with the roles swapped
+    np.testing.assert_allclose(
+        np.asarray(mask_src_tgt(src, tgt, jnp.asarray(mask))),
+        np.asarray(cutmix(tgt, src, jnp.asarray(mask))), rtol=1e-6)
