@@ -12,7 +12,6 @@ over a data mesh for full-study editing.
 """
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
