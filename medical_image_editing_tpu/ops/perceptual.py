@@ -20,6 +20,8 @@ The npz format for MEDIMG_VGG19_NPZ: keys `features.{i}.weight` (OIHW) /
 `features.{i}.bias` for each torchvision VGG19 conv index i — i.e.
 `{k: v.numpy() for k, v in torchvision.models.vgg19(pretrained=True)
  .features.state_dict().items()}` saved with np.savez.
+`tools/convert_perceptual_weights.py` produces both npz files on any
+machine with internet access.
 """
 
 import os
