@@ -200,6 +200,10 @@ class VQGAN(nn.Module):
     vq_momentum: float = 0.99
     vq_eps: float = 1e-5
     axis_name: Optional[str] = None
+    # same backend seam as EncoderWithVQ (reference knn_backend,
+    # `vq_module.py:117-121`); the fused Pallas kernel auto-tiles for this
+    # model's wide emb_dim (tools/bench_vq.py)
+    knn_backend: str = "xla"
 
     def setup(self):
         self.encoder = VQGANEncoder(
@@ -235,6 +239,7 @@ class VQGAN(nn.Module):
             eps=self.vq_eps,
             train=train,
             axis_name=self.axis_name,
+            backend=self.knn_backend,
         )
         recon = self.decoder(emb, train)
         return recon, commit, ids, emb, new_vq

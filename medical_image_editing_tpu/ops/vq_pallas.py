@@ -68,15 +68,41 @@ def _vq_kernel(flat_ref, embed_ref, esq_ref, ids_ref, quant_ref, counts_ref, sum
     )
 
 
+def _pick_tile(n: int, c: int, k: int, tile_n: Optional[int]) -> int:
+    """Feature-tile rows per grid step, fitted to the ~16 MB scoped-VMEM stack.
+
+    Per tile row the kernel holds the input and quantized-output blocks
+    (double-buffered by the Pallas pipeline) plus the scores/onehot
+    intermediates: ≈ 2·2·4C + 2·4K bytes/row; the codebook adds a constant
+    ≈ 8KC. A 12 MB budget leaves headroom under the 16 MB limit (at the
+    flagship C=16/K=10 point this still selects the full 2048-row tile;
+    at VQGAN's C=512 it drops to 1024 — without this, compilation fails
+    with a scoped-VMEM OOM, measured at 25.1 MB for tile 2048 × C 512).
+    """
+    if tile_n is not None:
+        return min(tile_n, n)
+    budget = 12 * 1024 * 1024 - 8 * k * c
+    per_row = 16 * c + 8 * k
+    cap = max(8, min(2048, budget // per_row, n))
+    for t in range(cap - cap % 8, 0, -8):
+        if n % t == 0:
+            return t
+    for t in range(min(cap, n), 0, -1):  # tiny/odd N fallback
+        if n % t == 0:
+            return t
+    return n
+
+
 def vq_assign_fused(
-    embed: jax.Array, flat: jax.Array, tile_n: int = 2048
+    embed: jax.Array, flat: jax.Array, tile_n: Optional[int] = None
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused assign: flat (N,C) × embed (K,C) → (ids (N,), quantized (N,C),
-    counts (K,), sums (K,C)). N must be a multiple of 8; tiles are clamped to N.
+    counts (K,), sums (K,C)). The feature tile size auto-adapts to the
+    scoped-VMEM budget (see `_pick_tile`); pass `tile_n` to override.
     """
     n, c = flat.shape
     k = embed.shape[0]
-    tile = min(tile_n, n)
+    tile = _pick_tile(n, c, k, tile_n)
     assert n % tile == 0, (n, tile)
     # off-TPU (tests, CPU smoke) run the kernel in interpreter mode
     interpret = jax.default_backend() != "tpu"
@@ -124,7 +150,7 @@ def vq_apply_fused(
     eps: float = 1e-5,
     train: bool = True,
     axis_name: Optional[str] = None,
-    tile_n: int = 2048,
+    tile_n: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, VQState]:
     """Drop-in fused replacement for `ops.vq.vq_apply` (same contract)."""
     k, c = state.embed.shape

@@ -130,6 +130,7 @@ class Trainer:
                 p_dropout=float(g(v, "p_dropout", 0.0) or 0.0),
                 resamp_with_conv=bool(g(v, "resamp_with_conv", True)),
                 axis_name=self.axis_name,
+                knn_backend=str(g(gen, "knn_backend", "xla") or "xla"),
             )
             self.decoder = None
         else:

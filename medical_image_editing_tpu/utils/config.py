@@ -176,6 +176,16 @@ def validate_config(cfg, multi_window: bool = False, vqgan: bool = False):
     else:
         # checked for EVERY mode: the trainer builds + inits the
         # discriminator even in first_step/inference
+        if vqgan and mode not in ("test", "inference") and str(
+            g(dis, "model_name", "")
+        ) != "UNetDiscriminator":
+            # the -v trainer is UNetDiscriminator-only by spec: it trains
+            # against the per-pixel map AND bottleneck logit
+            # (`vqgan_unet_dis.py:36-185`); a PatchGAN has no such protocol
+            problems.append(
+                "the VQGAN trainer (-v) requires model.dis.model_name="
+                f"'UNetDiscriminator' for training, got {g(dis, 'model_name')!r}"
+            )
         if str(g(dis, "model_name", "")) == "UNetDiscriminator":
             res = g(dis, "resolution")
             if res is not None and int(res) not in (128, 256, 512):

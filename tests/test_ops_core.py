@@ -471,6 +471,34 @@ def test_vq_pallas_fused_matches_xla_reference(rng):
     np.testing.assert_allclose(np.asarray(s1.embed), np.asarray(s2.embed), rtol=1e-4)
 
 
+def test_vq_pallas_tile_autoselect():
+    """Tile rows adapt to the scoped-VMEM budget: full 2048 at the flagship
+    point, smaller at VQGAN's wide C=512 (tile 2048 there OOMs the 16 MB
+    scoped-VMEM stack on hardware), and degrade gracefully for tiny/odd N."""
+    from medical_image_editing_tpu.ops.vq_pallas import _pick_tile
+
+    assert _pick_tile(8 * 256 * 256, 16, 10, None) == 2048  # flagship
+    vq_tile = _pick_tile(8 * 32 * 32, 512, 64, None)  # VQGAN @512² latent
+    assert vq_tile < 2048 and (8 * 32 * 32) % vq_tile == 0
+    assert 16 * 512 * vq_tile + 8 * 64 * vq_tile <= 12 * 1024 * 1024
+    assert _pick_tile(24, 16, 10, None) == 24  # small N: one tile
+    assert _pick_tile(7, 16, 10, None) == 7  # odd N fallback
+    assert _pick_tile(4096, 16, 10, 256) == 256  # explicit override wins
+
+
+def test_vq_pallas_fused_wide_embedding(rng):
+    """Fused kernel at a wide-C operating point (VQGAN-like, auto tiling)."""
+    from medical_image_editing_tpu.ops.vq_pallas import vq_apply_fused
+
+    state = vq_init(jax.random.key(0), 12, 96)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 96)).astype(np.float32))
+    q1, c1, i1, s1 = vq_apply(state, x, momentum=0.9)
+    q2, c2, i2, s2 = vq_apply_fused(state, x, momentum=0.9)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.embed), np.asarray(s2.embed), rtol=1e-4)
+
+
 def test_vq_apply_backend_seam(rng):
     state = vq_init(jax.random.key(0), 6, 8)
     x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))

@@ -264,6 +264,19 @@ def test_validate_config_catches_common_mistakes():
     with _pytest.raises(ValueError, match="model.dis"):
         validate_config(to_config(no_dis))
 
+    # -v training with a PatchGAN dis: the VQGAN trainer needs the
+    # UNetDiscriminator map+bottleneck protocol (vqgan_unet_dis.py:36-185)
+    vq_patchgan = {
+        "run": {"training_mode": "first_step"},
+        "dataset": {"dataset_name": "CRCDataset", "image_size": [64, 64]},
+        "model": {"vqmodel": {"enc_filters": [4, 8]}, "dis": tiny_dis},
+    }
+    with _pytest.raises(ValueError, match="UNetDiscriminator"):
+        validate_config(to_config(vq_patchgan), vqgan=True)
+    # ...but -v test/inference never touches the dis: accepted
+    vq_test = {**vq_patchgan, "run": {"training_mode": "test"}}
+    validate_config(to_config(vq_test), vqgan=True)
+
     # impossible UNetDiscriminator resolution caught even in first_step
     # (the trainer inits the discriminator regardless of mode)
     fs_bad_dis = {**warn_cfg, "model": {
