@@ -176,15 +176,18 @@ def validate_config(cfg, multi_window: bool = False, vqgan: bool = False):
     else:
         # checked for EVERY mode: the trainer builds + inits the
         # discriminator even in first_step/inference
-        if vqgan and mode not in ("test", "inference") and str(
-            g(dis, "model_name", "")
-        ) != "UNetDiscriminator":
-            # the -v trainer is UNetDiscriminator-only by spec: it trains
+        unet_dis_only = (vqgan and mode not in ("test", "inference")) or (
+            multi_window and mode in ("second_step", "joint_step")
+        )
+        if unet_dis_only and str(g(dis, "model_name", "")) != "UNetDiscriminator":
+            # these trainers are UNetDiscriminator-only by spec: they train
             # against the per-pixel map AND bottleneck logit
-            # (`vqgan_unet_dis.py:36-185`); a PatchGAN has no such protocol
+            # (`vqgan_unet_dis.py:36-185`, `multi_window_trainer.py:208-392`);
+            # a PatchGAN has no such protocol
+            which = "VQGAN trainer (-v)" if vqgan else "multi-window GAN modes (-w)"
             problems.append(
-                "the VQGAN trainer (-v) requires model.dis.model_name="
-                f"'UNetDiscriminator' for training, got {g(dis, 'model_name')!r}"
+                f"the {which} require model.dis.model_name="
+                f"'UNetDiscriminator', got {g(dis, 'model_name')!r}"
             )
         if str(g(dis, "model_name", "")) == "UNetDiscriminator":
             res = g(dis, "resolution")

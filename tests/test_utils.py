@@ -277,6 +277,13 @@ def test_validate_config_catches_common_mistakes():
     vq_test = {**vq_patchgan, "run": {"training_mode": "test"}}
     validate_config(to_config(vq_test), vqgan=True)
 
+    # same protocol requirement for multi-window GAN modes (-w)
+    mw_patchgan = {**vq_patchgan, "run": {"training_mode": "joint_step"}}
+    with _pytest.raises(ValueError, match="UNetDiscriminator"):
+        validate_config(to_config(mw_patchgan), multi_window=True)
+    # multi-window first_step never touches the dis: accepted
+    validate_config(to_config(vq_patchgan), multi_window=True)
+
     # impossible UNetDiscriminator resolution caught even in first_step
     # (the trainer inits the discriminator regardless of mode)
     fs_bad_dis = {**warn_cfg, "model": {
