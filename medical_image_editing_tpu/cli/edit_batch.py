@@ -27,13 +27,25 @@ def make_batched_edit_fn(
     is_lung: bool = False,
     dataset_window=(4096, 0.0, 2.0),
     mesh=None,
+    partition: str = "data",
     output_dtype=None,
 ):
     """Returns edit(dec_vars, vq_state, id_maps (B,H,W) int32) → recon (B,H,W).
 
     Per-sample mask/rescale parity with `run_recon.py:182-192` (the mean
-    rescale is per-slice, matching the reference's single-slice math). With
-    `mesh`, the batch is sharded over the data axis (state replicated).
+    rescale is per-slice, matching the reference's single-slice math).
+
+    With `mesh`, two parallelization modes (the reference is DP-only,
+    SURVEY.md §2.8 — 'spatial' is new TPU-native design):
+
+    - partition='data': the batch is sharded over the 'data' axis
+      (throughput — full-study editing).
+    - partition='spatial': every image's ROWS are sharded over the 'spatial'
+      axis via GSPMD jit shardings — XLA inserts the halo exchanges for the
+      decoder convs and all-reduces the per-slice mask mean, so the single
+      dispatch's compute spreads over the chips (latency — interactive
+      editing of one batch). A 2-D ('data' × 'spatial') mesh composes both.
+      State is replicated either way.
 
     output_dtype="uint8" quantizes [-1,1]→[0,255] ON DEVICE: display/PNG
     consumers need uint8 anyway, and the 4×-smaller device→host transfer
@@ -64,10 +76,22 @@ def make_batched_edit_fn(
         return recon
 
     if mesh is not None:
-        from jax.sharding import PartitionSpec as P
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel import DATA_AXIS
+        from ..parallel import DATA_AXIS, SPATIAL_AXIS
 
+        if partition == "spatial":
+            if SPATIAL_AXIS not in mesh.axis_names:
+                raise ValueError(
+                    f"partition='spatial' needs a '{SPATIAL_AXIS}' mesh axis, "
+                    f"got {mesh.axis_names}"
+                )
+            b_ax = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+            rep = NamedSharding(mesh, P())
+            sp = NamedSharding(mesh, P(b_ax, SPATIAL_AXIS))
+            return jax.jit(edit, in_shardings=(rep, rep, sp), out_shardings=sp)
+        if partition != "data":
+            raise ValueError(f"unknown partition {partition!r}")
         edit = jax.shard_map(
             edit, mesh=mesh, in_specs=(P(), P(), P(DATA_AXIS)),
             out_specs=P(DATA_AXIS), check_vma=False,
@@ -85,6 +109,7 @@ def edit_study(
     is_lung: bool = False,
     dataset_window=(4096, 0.0, 2.0),
     mesh=None,
+    partition: str = "data",
 ):
     """Full-study pipeline: every `label_*.nii.gz` under label_dir → decoded
     `edited_*.nii.gz` under out_dir, batched `batch_size` slices per dispatch."""
@@ -96,7 +121,8 @@ def edit_study(
     if not files:
         return []
     edit = make_batched_edit_fn(
-        decoder, is_lung=is_lung, dataset_window=dataset_window, mesh=mesh
+        decoder, is_lung=is_lung, dataset_window=dataset_window, mesh=mesh,
+        partition=partition,
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -138,7 +164,21 @@ def main(argv=None):
                         help="directory of label_*.nii.gz painted id maps")
     parser.add_argument("--out-dir", required=True)
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--partition", choices=["none", "data", "spatial"],
+                        default="none",
+                        help="shard each dispatch over all local devices: "
+                        "'data' = batch axis (throughput), 'spatial' = image "
+                        "rows via GSPMD halo-exchanged convs (latency)")
     args = parser.parse_args(argv)
+
+    mesh = None
+    if args.partition != "none":
+        from jax.sharding import Mesh
+
+        from ..parallel import DATA_AXIS, SPATIAL_AXIS
+
+        axis = DATA_AXIS if args.partition == "data" else SPATIAL_AXIS
+        mesh = Mesh(np.asarray(jax.devices()), (axis,))
 
     config = LungConfig() if args.config == "lung" else CRCConfig()
     _, decoder, state = load_model(config)
@@ -148,6 +188,8 @@ def main(argv=None):
         is_lung=config.config_name == "LungConfig",
         dataset_window=(config.window_width, config.window_center,
                         config.window_scale),
+        mesh=mesh,
+        partition="data" if args.partition == "none" else args.partition,
     )
     print(f"{len(written)} edited volumes -> {args.out_dir}")
     return 0

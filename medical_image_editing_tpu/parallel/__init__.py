@@ -6,6 +6,7 @@ The reference's parallelism is data-parallel DDP over NCCL
 
 from .mesh import (
     DATA_AXIS,
+    SPATIAL_AXIS,
     create_mesh,
     data_parallel,
     initialize_distributed,

@@ -21,6 +21,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+# Model/spatial-parallel axis: images (H) or volumes (depth) sharded across
+# chips, with XLA GSPMD inserting conv halo exchanges. The reference has no
+# such axis (SURVEY.md §2.8: DP only) — this is new TPU-native design used by
+# the volumetric trainer and the latency-oriented spatial edit path.
+SPATIAL_AXIS = "spatial"
 
 
 def create_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Mesh:

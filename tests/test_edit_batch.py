@@ -137,3 +137,63 @@ def test_edit_batch_cli_entrypoint(tmp_path, rng, monkeypatch):
     assert rc == 0
     outs = sorted(os.listdir(out_dir))
     assert outs == [f"edited_{i:03d}.nii.gz" for i in range(3)]
+
+
+# ---------------------------------------------------------------------------
+# Spatial (model-parallel) partitioning of the edit decode
+# ---------------------------------------------------------------------------
+
+
+def test_spatial_partition_matches_unsharded(rng):
+    """GSPMD row-sharded edit decode == single-device decode, and the
+    compiled module really partitions (collective ops present)."""
+    from jax.sharding import Mesh
+
+    from medical_image_editing_tpu.parallel import SPATIAL_AXIS
+
+    dec, s = _setup()
+    devices = np.asarray(jax.devices()[:8])
+    mesh = Mesh(devices, (SPATIAL_AXIS,))
+
+    edit_sp = make_batched_edit_fn(dec, mesh=mesh, partition="spatial")
+    edit_ref = make_batched_edit_fn(dec)
+
+    ids = jnp.asarray(rng.integers(0, 7, (2, 32, 32)).astype(np.int32))
+    want = np.asarray(edit_ref(s["dec_vars"], s["vq"], ids))
+    got = np.asarray(edit_sp(s["dec_vars"], s["vq"], ids))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    txt = edit_sp.lower(s["dec_vars"], s["vq"], ids).compile().as_text()
+    assert ("collective-permute" in txt) or ("all-reduce" in txt), (
+        "expected GSPMD partitioning evidence in the compiled HLO"
+    )
+
+
+def test_spatial_partition_2d_mesh_composes_with_data(rng):
+    """('data' × 'spatial') mesh: batch over data, rows over spatial."""
+    from jax.sharding import Mesh
+
+    from medical_image_editing_tpu.parallel import DATA_AXIS, SPATIAL_AXIS
+
+    dec, s = _setup()
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, (DATA_AXIS, SPATIAL_AXIS))
+
+    edit_sp = make_batched_edit_fn(dec, mesh=mesh, partition="spatial")
+    edit_ref = make_batched_edit_fn(dec)
+
+    ids = jnp.asarray(rng.integers(0, 7, (4, 32, 32)).astype(np.int32))
+    want = np.asarray(edit_ref(s["dec_vars"], s["vq"], ids))
+    got = np.asarray(edit_sp(s["dec_vars"], s["vq"], ids))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_spatial_partition_requires_spatial_axis():
+    from jax.sharding import Mesh
+
+    from medical_image_editing_tpu.parallel import DATA_AXIS
+
+    dec, _ = _setup()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), (DATA_AXIS,))
+    with pytest.raises(ValueError, match="spatial"):
+        make_batched_edit_fn(dec, mesh=mesh, partition="spatial")
