@@ -37,17 +37,29 @@ def build_service(config):
 
 
 class EditService:
-    def __init__(self, config):
+    def __init__(self, config, partition: str = "none"):
         import jax
 
         from .edit_batch import make_batched_edit_fn
 
         self.config = config
+        self.partition = partition
         self.decoder, self.state = build_service(config)
+        mesh = None
+        if partition != "none":
+            import numpy as np
+            from jax.sharding import Mesh
+
+            from ..parallel import DATA_AXIS, SPATIAL_AXIS
+
+            axis = DATA_AXIS if partition == "data" else SPATIAL_AXIS
+            mesh = Mesh(np.asarray(jax.devices()), (axis,))
         kw = dict(
             is_lung=config.config_name == "LungConfig",
             dataset_window=(config.window_width, config.window_center,
                             config.window_scale),
+            mesh=mesh,
+            partition="data" if partition == "none" else partition,
         )
         self.edit_fn = make_batched_edit_fn(self.decoder, **kw)
         # PNG responses decode straight to uint8 on device: 4× smaller
@@ -101,6 +113,7 @@ def make_handler(service: EditService):
                 "config": service.config.config_name,
                 "dict_size": int(service.config.dict_size),
                 "device": service.device,
+                "partition": service.partition,
             }
             self._send(200, json.dumps(info).encode(), "application/json")
 
@@ -139,11 +152,12 @@ def make_handler(service: EditService):
     return Handler
 
 
-def serve(config, host="127.0.0.1", port=8760, warm_shapes=((1, 512, 512),)):
+def serve(config, host="127.0.0.1", port=8760, warm_shapes=((1, 512, 512),),
+          partition: str = "none"):
     """Build the service, optionally pre-compile shapes, serve forever."""
     import numpy as np
 
-    service = EditService(config)
+    service = EditService(config, partition=partition)
     for shape in warm_shapes or ():
         service.edit(np.zeros(shape, np.int32))
         service.edit(np.zeros(shape, np.int32), uint8=True)
@@ -165,6 +179,11 @@ def main(argv=None):
     parser.add_argument("--warm", default="1x512x512",
                         help="comma-separated BxHxW shapes to pre-compile, "
                              "or 'none'")
+    parser.add_argument("--partition", choices=["none", "data", "spatial"],
+                        default="none",
+                        help="shard each dispatch over all local devices: "
+                        "'data' = batch axis (throughput), 'spatial' = image "
+                        "rows via GSPMD (latency)")
     args = parser.parse_args(argv)
     config = LungConfig() if args.config == "lung" else CRCConfig()
     warm = ()
@@ -172,7 +191,8 @@ def main(argv=None):
         warm = tuple(
             tuple(int(d) for d in s.split("x")) for s in args.warm.split(",")
         )
-    serve(config, host=args.host, port=args.port, warm_shapes=warm)
+    serve(config, host=args.host, port=args.port, warm_shapes=warm,
+          partition=args.partition)
     return 0
 
 

@@ -521,3 +521,39 @@ def test_sharded_eval_matches_single_device(crc_env):
     for a, b in zip(out_multi, out_single):
         for k in a:
             np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6)
+
+
+def test_http_edit_service_spatial_partition(tmp_path, rng):
+    """EditService(partition='spatial') serves the GSPMD row-sharded decode
+    and returns the same values as the unpartitioned service."""
+    from medical_image_editing_tpu.cli import run_recon as rr
+    from medical_image_editing_tpu.cli.serve_http import EditService
+
+    class TinyConfig(rr.LungConfig):
+        enc_filters = (4, 8, 16, 32, 64)
+        dec_filters = (4, 8, 16, 32, 64)
+
+        def __init__(self):
+            self.resume_checkpoint = None
+            self.edited_file_path = None
+            self.save_dir_path = str(tmp_path / "out")
+
+    sharded = EditService(TinyConfig(), partition="spatial")
+    assert sharded.partition == "spatial"
+
+    ids = rng.integers(0, 6, (32, 32)).astype(np.int32)
+    # compare against the unsharded decode of the SAME (random-init) weights
+    from medical_image_editing_tpu.cli.edit_batch import make_batched_edit_fn
+
+    want = np.asarray(
+        make_batched_edit_fn(
+            sharded.decoder,
+            is_lung=True,
+            dataset_window=(sharded.config.window_width,
+                            sharded.config.window_center,
+                            sharded.config.window_scale),
+        )(sharded.state.dec_vars, sharded.state.vq, ids[None])
+    )[0]
+    got, ms = sharded.edit(ids)
+    assert ms > 0
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
