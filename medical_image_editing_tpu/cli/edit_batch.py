@@ -169,6 +169,9 @@ def main(argv=None):
                         help="shard each dispatch over all local devices: "
                         "'data' = batch axis (throughput), 'spatial' = image "
                         "rows via GSPMD halo-exchanged convs (latency)")
+    parser.add_argument("--dtype", choices=["f32", "bf16"], default=None,
+                        help="decode compute dtype (bf16 cuts TPU edit "
+                             "latency; params/checkpoints stay f32)")
     args = parser.parse_args(argv)
 
     mesh = None
@@ -181,6 +184,8 @@ def main(argv=None):
         mesh = Mesh(np.asarray(jax.devices()), (axis,))
 
     config = LungConfig() if args.config == "lung" else CRCConfig()
+    if args.dtype:
+        config.compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.dtype]
     _, decoder, state = load_model(config)
     written = edit_study(
         decoder, state, args.label_dir, args.out_dir,

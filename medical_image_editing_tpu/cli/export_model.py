@@ -92,9 +92,13 @@ def main(argv=None):
                    help="quantize [-1,1]→uint8 on device (PNG consumers)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering platforms")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default=None,
+                   help="decode compute dtype baked into the artifact")
     args = p.parse_args(argv)
 
     config = LungConfig() if args.config == "lung" else CRCConfig()
+    if args.dtype:
+        config.compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.dtype]
     _, decoder, state = load_model(config)
     if not config.resume_checkpoint:
         print("warning: no checkpoint env set — exporting random-init weights",

@@ -50,6 +50,11 @@ class LungConfig:
         self.resume_checkpoint = os.environ.get("LUNG_CKPT")
         self.edited_file_path = os.environ.get("LUNG_EDITED_FILE")
         self.save_dir_path = "inference"
+        # serving compute dtype: "bfloat16" halves decoder HBM/MXU work on
+        # TPU (params stay f32 — checkpoints are unaffected). The reference
+        # serves f32 (torch), so f32 stays the default; bench_edit measures
+        # the bfloat16 path (PERF.md edit-latency numbers).
+        self.compute_dtype = os.environ.get("MEDIMG_EDIT_DTYPE")
 
 
 class CRCConfig(LungConfig):
@@ -80,12 +85,16 @@ def load_model(config):
     from ..train.state import create_train_state, make_optimizer
     from ..utils.checkpoint import restore_fields
 
+    dtype = None
+    if getattr(config, "compute_dtype", None) in ("bfloat16", "bf16"):
+        dtype = jnp.bfloat16
     encoder = EncoderWithVQ(
         in_channels=config.in_channels,
         filters=tuple(config.enc_filters),
         dict_size=config.dict_size,
         momentum=config.momentum,
         use_styled_up_block=False,
+        dtype=dtype,
     )
     decoder = UNetDecoder(
         out_channels=config.in_channels,
@@ -94,6 +103,7 @@ def load_model(config):
         block_size=int(config.block_size),
         dropped_skip_layers=tuple(config.dropped_skip_layers),
         use_pixel_shuffle=bool(config.use_pixel_shuffle),
+        dtype=dtype,
     )
     x0 = jnp.zeros((1, 64, 64, config.in_channels), jnp.float32)
     enc_vars, vq = encoder.init(jax.random.key(0), x0)
@@ -249,8 +259,13 @@ def main(argv=None):
     parser.add_argument("--watch", choices=["auto", "inotify", "poll"],
                         default="auto",
                         help="inotify wake-on-write (default) vs 1 Hz polling")
+    parser.add_argument("--dtype", choices=["f32", "bf16"], default=None,
+                        help="decode compute dtype (bf16 cuts TPU edit "
+                             "latency; params/checkpoints stay f32)")
     args = parser.parse_args(argv)
     config = LungConfig() if args.config == "lung" else CRCConfig()
+    if args.dtype:
+        config.compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.dtype]
     serve(config, poll_seconds=args.poll_seconds, max_iters=args.max_iters,
           show=args.show, watch=args.watch)
     return 0

@@ -184,8 +184,13 @@ def main(argv=None):
                         help="shard each dispatch over all local devices: "
                         "'data' = batch axis (throughput), 'spatial' = image "
                         "rows via GSPMD (latency)")
+    parser.add_argument("--dtype", choices=["f32", "bf16"], default=None,
+                        help="decode compute dtype (bf16 cuts TPU edit "
+                             "latency; params/checkpoints stay f32)")
     args = parser.parse_args(argv)
     config = LungConfig() if args.config == "lung" else CRCConfig()
+    if args.dtype:
+        config.compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.dtype]
     warm = ()
     if args.warm and args.warm != "none":
         warm = tuple(

@@ -197,3 +197,38 @@ def test_spatial_partition_requires_spatial_axis():
     mesh = Mesh(np.asarray(jax.devices()[:8]), (DATA_AXIS,))
     with pytest.raises(ValueError, match="spatial"):
         make_batched_edit_fn(dec, mesh=mesh, partition="spatial")
+
+
+def test_serving_compute_dtype_plumb(rng):
+    """LungConfig.compute_dtype='bfloat16' builds a bf16-compute decoder
+    through load_model (the path every serving CLI uses); decode stays
+    close to the f32 decode."""
+    import medical_image_editing_tpu.cli.run_recon as rr
+
+    class TinyConfig(rr.LungConfig):
+        enc_filters = (4, 8, 16, 32, 64)
+        dec_filters = (4, 8, 16, 32, 64)
+
+        def __init__(self):
+            self.resume_checkpoint = None
+            self.edited_file_path = None
+            self.save_dir_path = "unused"
+            self.compute_dtype = None
+
+    ids = jnp.asarray(rng.integers(0, 11, (1, 32, 32)).astype(np.int32))
+
+    cfg = TinyConfig()
+    _, dec32, s32 = rr.load_model(cfg)
+    assert dec32.dtype is None
+    want = np.asarray(make_batched_edit_fn(dec32)(s32.dec_vars, s32.vq, ids))
+
+    cfg = TinyConfig()
+    cfg.compute_dtype = "bfloat16"
+    _, dec16, s16 = rr.load_model(cfg)
+    assert dec16.dtype == jnp.bfloat16
+    got = np.asarray(make_batched_edit_fn(dec16)(s16.dec_vars, s16.vq, ids))
+    assert got.dtype == np.float32  # output stays f32 (final tanh cast)
+    assert np.isfinite(got).all()
+    # same weights (same seeds); bf16 rounding amplifies through the
+    # random-init InstanceNorm stack, so pin agreement by correlation
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
