@@ -12,9 +12,9 @@ CLI:
         --ckpt out/volumetric_ckpt --labels labels/ --out edited/ \\
         [--filters 8,16,32,64] [--dict-size 10] [--partition spatial]
 
-`--labels` is a directory of `.npy` int id volumes (D,H,W) — 0 = background,
-k = codebook id k−1 — or one such file. Outputs `edited_<name>.npy` float32
-volumes in [-1, 1].
+`--labels` is a directory of `.npy` (D,H,W) or `.nii/.nii.gz` (X,Y,Z) int id
+volumes — 0 = background, k = codebook id k−1 — or one such file. Outputs
+`edited_<name>` volumes in [-1, 1], same format as each input.
 """
 
 import argparse
@@ -101,10 +101,25 @@ def load_volumetric_checkpoint(path: str, *, filters, dict_size: int,
 
 
 def _load_label_volume(path: str) -> np.ndarray:
-    vol = np.load(path, allow_pickle=False)
+    if ".nii" in os.path.basename(path):
+        from ..utils import nifti
+
+        # NIfTI stores (X,Y,Z); editing works depth-major (D,H,W)
+        vol = np.transpose(nifti.load(path), (2, 1, 0))
+    else:
+        vol = np.load(path, allow_pickle=False)
     if vol.ndim != 3:
         raise ValueError(f"{path}: expected a (D,H,W) id volume, got {vol.shape}")
-    return vol.astype(np.int32)
+    return np.rint(vol).astype(np.int32)
+
+
+def _save_volume(path: str, vol: np.ndarray) -> None:
+    if ".nii" in os.path.basename(path):
+        from ..utils import nifti
+
+        nifti.save(np.transpose(vol, (2, 1, 0)).astype(np.float64), path)
+    else:
+        np.save(path, vol)
 
 
 def main(argv=None):
@@ -145,12 +160,12 @@ def main(argv=None):
         files = sorted(
             os.path.join(args.labels, f)
             for f in os.listdir(args.labels)
-            if f.endswith(".npy")
+            if f.endswith(".npy") or ".nii" in f
         )
     else:
         files = [args.labels]
     if not files:
-        print(f"no .npy label volumes under {args.labels}", file=sys.stderr)
+        print(f"no .npy/.nii label volumes under {args.labels}", file=sys.stderr)
         return 1
 
     os.makedirs(args.out, exist_ok=True)
@@ -165,7 +180,7 @@ def main(argv=None):
             recons = recons[: len(chunk)]
         for f, rec in zip(chunk, recons):
             name = "edited_" + os.path.basename(f)
-            np.save(os.path.join(args.out, name), rec)
+            _save_volume(os.path.join(args.out, name), rec)
             print(name)
     return 0
 

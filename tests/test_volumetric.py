@@ -211,3 +211,41 @@ def test_edit_volume_cli_roundtrip(tmp_path, rng):
     # wrong dict-size must fail loudly, not decode garbage
     with pytest.raises(ValueError, match="codebook"):
         ev.load_volumetric_checkpoint(str(ckpt), filters=FILTERS, dict_size=7)
+
+
+@pytest.mark.slow
+def test_edit_volume_nifti_roundtrip(tmp_path, rng):
+    """NIfTI label volumes decode to the same recon as their .npy twins and
+    come back out as NIfTI."""
+    import orbax.checkpoint as ocp
+
+    from medical_image_editing_tpu.cli import edit_volume as ev
+    from medical_image_editing_tpu.utils import nifti
+
+    _, dec, enc_vars, dv, vq, *_ = init_volumetric(
+        jax.random.key(0), filters=FILTERS, dict_size=5, volume_shape=SHAPE)
+    ckpt = tmp_path / "volumetric_ckpt"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        str(ckpt),
+        {"enc": enc_vars, "dec": dv,
+         "vq": {"embed": vq.embed, "cluster_size": vq.cluster_size,
+                "embed_avg": vq.embed_avg}},
+    )
+    ckptr.wait_until_finished()
+
+    vol = rng.integers(0, 6, (16, 16, 16)).astype(np.int32)  # (D,H,W)
+    labels = tmp_path / "labels"
+    labels.mkdir()
+    np.save(labels / "a.npy", vol)
+    nifti.save(np.transpose(vol, (2, 1, 0)).astype(np.float64),
+               str(labels / "b.nii.gz"))
+
+    out = tmp_path / "edited"
+    rc = ev.main(["--ckpt", str(ckpt), "--labels", str(labels),
+                  "--out", str(out), "--filters", "4,8,16",
+                  "--dict-size", "5", "--batch", "2"])
+    assert rc == 0
+    rec_npy = np.load(out / "edited_a.npy")
+    rec_nii = np.transpose(nifti.load(str(out / "edited_b.nii.gz")), (2, 1, 0))
+    np.testing.assert_allclose(rec_nii, rec_npy, atol=1e-5)
