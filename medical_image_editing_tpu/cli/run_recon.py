@@ -122,7 +122,12 @@ def load_model(config):
 
 
 def make_edit_fn(decoder, state, config):
-    """The jit-compiled edit path: id map → decoded image. Spec: `:182-197`."""
+    """The jit-compiled edit path: id map → decoded image. Spec: `:182-197`.
+
+    With `config.partition == "spatial"` (CLI `--partition spatial`) the
+    single slice's rows are GSPMD-sharded over all local chips — the decode
+    spreads across the mesh for latency, like `edit_batch`'s spatial mode.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -131,7 +136,6 @@ def make_edit_fn(decoder, state, config):
 
     is_lung = config.config_name == "LungConfig"
 
-    @jax.jit
     def edit(dec_vars, vq_state, id_map):
         ids = id_map.astype(jnp.int32)  # (1,H,W), 0 = background
         bg = ids == 0
@@ -149,6 +153,19 @@ def make_edit_fn(decoder, state, config):
             recon = normalize(hu, LUNG_WINDOW["width"], LUNG_WINDOW["center"],
                               LUNG_WINDOW["scale"])
         return recon[..., 0], mask
+
+    if getattr(config, "partition", None) == "spatial":
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from ..parallel import SPATIAL_AXIS
+
+        mesh = Mesh(np.asarray(jax.devices()), (SPATIAL_AXIS,))
+        rep = NamedSharding(mesh, P())
+        sp = NamedSharding(mesh, P(None, SPATIAL_AXIS))
+        edit = jax.jit(edit, in_shardings=(rep, rep, sp),
+                       out_shardings=(sp, sp))
+    else:
+        edit = jax.jit(edit)
 
     def fn(id_map_np):
         recon, mask = edit(state.dec_vars, state.vq, jnp.asarray(id_map_np))
@@ -262,10 +279,16 @@ def main(argv=None):
     parser.add_argument("--dtype", choices=["f32", "bf16"], default=None,
                         help="decode compute dtype (bf16 cuts TPU edit "
                              "latency; params/checkpoints stay f32)")
+    parser.add_argument("--partition", choices=["none", "spatial"],
+                        default="none",
+                        help="'spatial' GSPMD-shards the slice's rows over "
+                             "all local chips (multi-chip latency)")
     args = parser.parse_args(argv)
     config = LungConfig() if args.config == "lung" else CRCConfig()
     if args.dtype:
         config.compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.dtype]
+    if args.partition != "none":
+        config.partition = args.partition
     serve(config, poll_seconds=args.poll_seconds, max_iters=args.max_iters,
           show=args.show, watch=args.watch)
     return 0

@@ -232,3 +232,33 @@ def test_serving_compute_dtype_plumb(rng):
     # same weights (same seeds); bf16 rounding amplifies through the
     # random-init InstanceNorm stack, so pin agreement by correlation
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
+
+
+def test_run_recon_edit_fn_spatial_partition(rng):
+    """run_recon's make_edit_fn with config.partition='spatial' matches the
+    unpartitioned edit (rows GSPMD-sharded over the virtual mesh)."""
+    import medical_image_editing_tpu.cli.run_recon as rr
+
+    class TinyConfig(rr.LungConfig):
+        enc_filters = (4, 8, 16, 32, 64)
+        dec_filters = (4, 8, 16, 32, 64)
+
+        def __init__(self):
+            self.resume_checkpoint = None
+            self.edited_file_path = None
+            self.save_dir_path = "unused"
+
+    cfg = TinyConfig()
+    _, dec, state = rr.load_model(cfg)
+    plain = rr.make_edit_fn(dec, state, cfg)
+
+    cfg_sp = TinyConfig()
+    cfg_sp.partition = "spatial"
+    sharded = rr.make_edit_fn(dec, state, cfg_sp)
+
+    ids = rng.integers(0, 11, (1, 32, 32)).astype(np.int32)
+    ids[0, :4, :4] = 0  # background region exercises the mask path
+    r0, m0 = plain(ids)
+    r1, m1 = sharded(ids)
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_allclose(r1, r0, atol=1e-4, rtol=1e-4)
