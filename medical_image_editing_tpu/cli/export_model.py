@@ -82,8 +82,10 @@ def load_edit_artifact(path: str):
 
 
 def main(argv=None):
+    from ..utils.config import load_dotenv
     from .run_recon import CRCConfig, LungConfig, load_model
 
+    load_dotenv()  # LUNG_CKPT / CRC_CKPT, as every sibling serving CLI
     p = argparse.ArgumentParser(description="Export the edit path as a StableHLO artifact")
     p.add_argument("--config", choices=["lung", "crc"], default="lung")
     p.add_argument("--out", required=True)
@@ -94,11 +96,19 @@ def main(argv=None):
                    help="comma-separated lowering platforms")
     p.add_argument("--dtype", choices=["f32", "bf16"], default=None,
                    help="decode compute dtype baked into the artifact")
+    p.add_argument("--allow-random-init", action="store_true",
+                   help="export even with no checkpoint configured (smoke "
+                        "tests only — the artifact would serve random weights)")
     args = p.parse_args(argv)
 
     config = LungConfig() if args.config == "lung" else CRCConfig()
     if args.dtype:
         config.compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.dtype]
+    if not config.resume_checkpoint and not args.allow_random_init:
+        print("error: no checkpoint configured (set LUNG_CKPT/CRC_CKPT or "
+              ".env); pass --allow-random-init to export anyway",
+              file=sys.stderr)
+        return 1
     _, decoder, state = load_model(config)
     if not config.resume_checkpoint:
         print("warning: no checkpoint env set — exporting random-init weights",

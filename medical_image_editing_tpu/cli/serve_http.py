@@ -68,6 +68,9 @@ class EditService:
             self.decoder, output_dtype="uint8", **kw
         )
         self.device = str(jax.devices()[0])
+        # 'data' sharding requires batch % n_devices == 0 (shard_map);
+        # requests of any size are padded up to the multiple and sliced back
+        self._batch_multiple = len(jax.devices()) if partition == "data" else 1
         self._lock = threading.Lock()  # serialize device dispatch per request
 
     def edit(self, ids, uint8: bool = False):
@@ -77,6 +80,10 @@ class EditService:
         squeeze = ids.ndim == 2
         if squeeze:
             ids = ids[None]
+        b = ids.shape[0]
+        pad = -b % self._batch_multiple
+        if pad:
+            ids = np.concatenate([ids, np.repeat(ids[-1:], pad, axis=0)])
         fn = self.edit_fn_u8 if uint8 else self.edit_fn
         t0 = time.perf_counter()
         with self._lock:
@@ -85,6 +92,7 @@ class EditService:
                    jnp.asarray(ids.astype(np.int32)))
             )
         ms = (time.perf_counter() - t0) * 1000.0
+        recon = recon[:b]
         return (recon[0] if squeeze else recon), ms
 
 

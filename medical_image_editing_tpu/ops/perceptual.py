@@ -168,6 +168,14 @@ def _load_lpips_alex_params():
             (k for k in raw.files if k.startswith("net.slice") and k.endswith(".weight")),
             key=lambda k: (int(k.split(".")[1][5:]), int(k.split(".")[2])),
         )
+        if not conv_keys or "lin0.model.1.weight" not in raw.files:
+            raise ValueError(
+                f"MEDIMG_LPIPS_NPZ={path} is not an lpips state_dict npz "
+                "(expected 'net.slice*.weight' convs and 'lin{i}.model.1."
+                "weight' heads; found keys like "
+                f"{sorted(raw.files)[:4]}...). Re-create it with "
+                "tools/convert_perceptual_weights.py."
+            )
         for wk in conv_keys:
             bk = wk[:-len("weight")] + "bias"
             w = raw[wk]  # OIHW

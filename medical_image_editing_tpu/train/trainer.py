@@ -478,6 +478,7 @@ class Trainer:
                 # periodic mid-epoch save (preemption safety): with the
                 # deterministic (seed, epoch) loader order + step-derived
                 # batch cursor, resume replays exactly the unseen tail
+                saved_step = None
                 if (
                     saver is not None
                     and save_every_n_steps
@@ -485,14 +486,18 @@ class Trainer:
                 ):
                     # step-tagged: never overwrites a committed checkpoint
                     saver.save(jax.device_get(state), epoch, step=global_step)
+                    saved_step = global_step
                 if max_steps is not None and global_step >= max_steps:
                     done = True
                     break
             if done:
                 # a max_steps break lands mid-epoch: do NOT advance the epoch
                 # counter (resume would otherwise skip the rest of this
-                # epoch's data); save step-tagged at the current epoch.
-                if saver is not None:
+                # epoch's data); save step-tagged at the current epoch —
+                # unless this step's periodic save already wrote that exact
+                # path (re-saving force=True would briefly delete the
+                # just-committed checkpoint: a preemption-loss window).
+                if saver is not None and saved_step != global_step:
                     saver.save(jax.device_get(state), epoch, step=global_step)
                 break
             state = state.replace(epoch=state.epoch + 1)
@@ -563,6 +568,12 @@ class Trainer:
             or not state.dis_vars
         ):
             return None
+        # build the jitted forward ONCE per Trainer: a fresh function object
+        # per validation call would retrace (and on this environment's slow
+        # compile path, recompile) two discriminator forwards every epoch
+        cached = getattr(self, "_dis_forward_fn", None)
+        if cached is not None:
+            return cached
         dis = self.dis
 
         @jax.jit
@@ -573,6 +584,7 @@ class Trainer:
             f_map, _, _ = dis.apply(variables, recon, False)
             return r_map, f_map
 
+        self._dis_forward_fn = forward
         return forward
 
     def _validate(self, eval_forward, state, epoch, limit_val_batches: int = 2):

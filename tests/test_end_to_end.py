@@ -557,3 +557,57 @@ def test_http_edit_service_spatial_partition(tmp_path, rng):
     got, ms = sharded.edit(ids)
     assert ms > 0
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_http_edit_service_data_partition_pads_batch(tmp_path, rng):
+    """partition='data' must serve ANY batch size: shard_map needs
+    batch % n_devices == 0, so the service pads and slices internally
+    (a 1-slice POST on an 8-device mesh previously crashed)."""
+    from medical_image_editing_tpu.cli import run_recon as rr
+    from medical_image_editing_tpu.cli.serve_http import EditService
+
+    class TinyConfig(rr.LungConfig):
+        enc_filters = (4, 8, 16, 32, 64)
+        dec_filters = (4, 8, 16, 32, 64)
+
+        def __init__(self):
+            self.resume_checkpoint = None
+            self.edited_file_path = None
+            self.save_dir_path = str(tmp_path / "out")
+
+    service = EditService(TinyConfig(), partition="data")
+    assert service._batch_multiple == 8  # conftest's virtual mesh
+
+    for shape in ((32, 32), (3, 32, 32)):  # 1 and 3 both indivisible by 8
+        ids = rng.integers(0, 6, shape).astype(np.int32)
+        recon, ms = service.edit(ids)
+        assert recon.shape == shape
+        assert np.isfinite(recon).all() and ms > 0
+
+
+@pytest.mark.slow
+def test_no_double_save_on_max_steps_boundary(crc_env, monkeypatch):
+    """max_steps landing exactly on a save_every_n_steps boundary must save
+    that step ONCE — a second force=True save to the same path would briefly
+    delete the committed checkpoint (preemption-loss window)."""
+    tmp_path, cfg_path, cfg = crc_env
+    cfg["save"]["save_every_n_steps"] = 2
+    cfg_path.write_text(json.dumps(cfg))
+
+    from medical_image_editing_tpu.train import trainer as trainer_mod
+
+    step_saves = []
+    orig_cm = trainer_mod.CheckpointManager
+
+    class Counting(orig_cm):
+        def save(self, state, epoch, step=None):
+            if step is not None:
+                step_saves.append(step)
+            return super().save(state, epoch, step=step)
+
+    monkeypatch.setattr(trainer_mod, "CheckpointManager", Counting)
+    from medical_image_editing_tpu.cli.run_vqwnet import main
+
+    rc = main(["-c", str(cfg_path), "-m", "train", "--max-steps", "2"])
+    assert rc == 0
+    assert step_saves.count(2) == 1, step_saves

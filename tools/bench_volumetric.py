@@ -107,21 +107,12 @@ def main():
     if "--tpu" in sys.argv:
         run_tpu()
         return
-    if os.environ.get("JAX_PLATFORMS") == "cpu" and (
-        "--xla_force_host_platform_device_count=8"
-        in os.environ.get("XLA_FLAGS", "")
-    ):
+    from medical_image_editing_tpu.utils.hermetic import cpu_pinned_env, is_cpu_pinned
+
+    if is_cpu_pinned(8):
         run_gspmd()
         return
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = [
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "--xla_force_host_platform_device_count" not in f
-    ]
-    flags.append("--xla_force_host_platform_device_count=8")
-    env["XLA_FLAGS"] = " ".join(flags)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env = cpu_pinned_env(8)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
     sys.exit(proc.returncode)

@@ -66,8 +66,7 @@ def main():
 
     orig = dict(
         embedding_loss=fs.embedding_loss,
-        forward_transform=fs.forward_transform,
-        reverse_transform=fs.reverse_transform,
+        cross_view_transform=fs.cross_view_transform,
         one_hot=fs.one_hot,
         random_transform=fs.random_transform,
         focal_frequency_loss=fs.focal_frequency_loss,
@@ -85,13 +84,11 @@ def main():
     rows.append(("− embedding loss (cross/dist/reg)", run_step_loop(build(), state, image)))
     restore()
 
-    fs.forward_transform = lambda ids, m: ids
-    fs.reverse_transform = lambda ids, m: ids
-    rows.append(("− id warps (×4 resamples)", run_step_loop(build(), state, image)))
+    fs.cross_view_transform = lambda ids, m_src, m_dst: ids
+    rows.append(("− id warps (cross-view resamples)", run_step_loop(build(), state, image)))
     restore()
 
-    fs.forward_transform = lambda ids, m: ids
-    fs.reverse_transform = lambda ids, m: ids
+    fs.cross_view_transform = lambda ids, m_src, m_dst: ids
     fs.embedding_loss = lambda *a, **k: (jnp.float32(0.0),) * 3
     fs.one_hot = lambda ids, n: jnp.zeros(ids.shape + (n,), jnp.float32)
     rows.append(("− warps − one-hot − embed loss", run_step_loop(build(), state, image)))

@@ -271,7 +271,7 @@ def main():
         return timed(f, state, image, iters=it)
 
     base_cfg = FirstStageLossConfig(margin=0.5)
-    t_full = results2 = {}
+    results2 = {}
     results2["no freq loss"] = step_timer(base_cfg._replace(use_frequency_loss=False))
     results2["no recon+freq (dec fwd only)"] = step_timer(
         base_cfg._replace(use_recon_loss=False, use_frequency_loss=False)
