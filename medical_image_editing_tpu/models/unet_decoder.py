@@ -31,6 +31,9 @@ class UNetDecoder(nn.Module):
     filters: Sequence[int] = (64, 128, 256, 512, 1024)
     use_dropblock: bool = False
     block_size: int = 30
+    # default (5, 6) is reference parity: its up loop also enumerates only
+    # 0..len(filters)-2, so the stock default drops nothing there either
+    # (`unet_decoder.py:28,150-153`); 0 = deepest skip in both.
     dropped_skip_layers: Sequence[int] = (5, 6)
     use_pixel_shuffle: bool = True
     use_last_pixel_shuffle: bool = False

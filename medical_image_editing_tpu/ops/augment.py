@@ -27,7 +27,14 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 
-from .warp import affine_matrix, hflip_matrix, identity_matrix, warp_perspective
+from .warp import (
+    affine_matrix,
+    hflip_matrix,
+    identity_matrix,
+    warp_ids_forward,
+    warp_ids_reverse,
+    warp_perspective,
+)
 
 
 def _get(cfg: Any, name: str, default=None):
@@ -222,17 +229,12 @@ def forward_transform(ids, mats) -> jax.Array:
 
     Spec: `random_transform.py:93-104`.
     """
-    return warp_perspective(ids.astype(jnp.float32)[..., None], mats, method="nearest")[
-        ..., 0
-    ]
+    return warp_ids_forward(ids, [mats])
 
 
 def reverse_transform(ids, mats) -> jax.Array:
     """Undo the view's warp on an id map, nearest. Spec: `random_transform.py:106-112`."""
-    inv = jnp.linalg.inv(mats.astype(jnp.float32))
-    return warp_perspective(ids.astype(jnp.float32)[..., None], inv, method="nearest")[
-        ..., 0
-    ]
+    return warp_ids_reverse(ids, [mats])
 
 
 def cross_view_transform(ids, mats_src, mats_dst) -> jax.Array:

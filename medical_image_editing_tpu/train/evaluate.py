@@ -235,7 +235,13 @@ def validation_snapshot(
         r_map, f_map = (np.asarray(m) for m in dis_maps)
 
     n_rows = min(n_save_images, image.shape[0])
-    if dataset_name == "CRCDataset":
+    # Raw grid for CRC — and for any dataset whose config lacks the
+    # window_width/center/scale needed for HU converters (rather than
+    # rendering degenerate constant panels). The 7-column layout with only
+    # 5 panels filled, and the 'l_img'/'l_rec' labels on raw panels, are
+    # reference quirks preserved verbatim (`single_window_trainer.py:577-596`).
+    if (dataset_name == "CRCDataset" or to_lung_fn is None
+            or to_mediastinal_fn is None):
         n_cols = 7
         for i in range(n_rows):
             subplot_image(image[i, ..., 0], "l_img", "gray", -1, 1, n_rows, n_cols, n_cols * i + 1)
@@ -248,13 +254,15 @@ def validation_snapshot(
         m_image = np.asarray(to_mediastinal_fn(jnp.asarray(image)))
         l_recon = np.asarray(to_lung_fn(jnp.asarray(recon)))
         m_recon = np.asarray(to_mediastinal_fn(jnp.asarray(recon)))
-        n_cols = 5
+        n_cols = 7
         for i in range(n_rows):
             subplot_image(l_image[i, ..., 0], "l_img", "gray", -1, 1, n_rows, n_cols, n_cols * i + 1)
             subplot_image(l_recon[i, ..., 0], "l_rec", "gray", -1, 1, n_rows, n_cols, n_cols * i + 2)
             subplot_image(m_image[i, ..., 0], "m_img", "gray", -1, 1, n_rows, n_cols, n_cols * i + 3)
             subplot_image(m_recon[i, ..., 0], "m_rec", "gray", -1, 1, n_rows, n_cols, n_cols * i + 4)
             subplot_image(ids[i], "ids", CMAP, 0, dict_size, n_rows, n_cols, n_cols * i + 5)
+            subplot_image(r_map[i, ..., 0], "r_m", "gray", None, None, n_rows, n_cols, n_cols * i + 6)
+            subplot_image(f_map[i, ..., 0], "f_m", "gray", None, None, n_rows, n_cols, n_cols * i + 7)
 
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
     plt.savefig(save_path, bbox_inches="tight", dpi=300)

@@ -151,21 +151,24 @@ def make_first_stage_step(
             )
 
             mutable = ["batch_stats"] if "batch_stats" in dec_vars else []
-            rngs = {"dropblock": kd1}
 
-            def decode(x, rng_key):
+            def decode(dvars, x, rng_key):
                 if mutable:
                     out, upd = decoder.apply(
-                        dec_vars, x, True, drop_prob,
+                        dvars, x, True, drop_prob,
                         mutable=mutable, rngs={"dropblock": rng_key},
                     )
                     return out, upd
                 return decoder.apply(
-                    dec_vars, x, True, drop_prob, rngs={"dropblock": rng_key}
+                    dvars, x, True, drop_prob, rngs={"dropblock": rng_key}
                 ), {}
 
-            recon_1, dec_upd = decode(q1, kd1)
-            recon_2, dec_upd2 = decode(q2, kd2)
+            # BN running stats chain view-1 → view-2 like the encoder above
+            # (torch buffers update in place between the two decodes).
+            recon_1, dec_upd = decode(dec_vars, q1, kd1)
+            if dec_upd:
+                dec_vars = {"params": dec_params, **dec_upd}
+            recon_2, dec_upd2 = decode(dec_vars, q2, kd2)
             dec_upd = dec_upd2 or dec_upd
 
             recon_1 = recon_1.astype(jnp.float32)

@@ -389,21 +389,24 @@ def make_joint_step(
 
             mutable = [k for k in dec_extra.keys()]
 
-            def decode(x, key):
+            def decode(dvars, x, key):
                 if mutable:
                     return decoder.apply(
-                        dec_vars, x, True, drop_prob,
+                        dvars, x, True, drop_prob,
                         mutable=mutable, rngs={"dropblock": key},
                     )
                 return decoder.apply(
-                    dec_vars, x, True, drop_prob, rngs={"dropblock": key}
+                    dvars, x, True, drop_prob, rngs={"dropblock": key}
                 ), {}
 
             if use_remat:
                 decode = jax.checkpoint(decode)
 
-            recon_1, dec_upd = decode(q1, kd1)
-            recon_2, dec_upd2 = decode(q2, kd2)
+            # BN running stats chain view-1 → view-2 like the encoder above
+            # (torch buffers update in place between the two decodes).
+            recon_1, dec_upd = decode(dec_vars, q1, kd1)
+            dec_vars_2 = {"params": dp, **dec_upd} if dec_upd else dec_vars
+            recon_2, dec_upd2 = decode(dec_vars_2, q2, kd2)
             dec_upd = dec_upd2 or dec_upd
             recon_1 = recon_1.astype(jnp.float32)
             recon_2 = recon_2.astype(jnp.float32)

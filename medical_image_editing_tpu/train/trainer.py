@@ -197,11 +197,17 @@ class Trainer:
             )
         self.aug_cfg = cfg.augmentation
         ds = cfg.dataset
-        self.dataset_window = (
-            g(ds, "window_width", 1.0) or 1.0,
-            g(ds, "window_center", 0.0) or 0.0,
-            g(ds, "window_scale", 2.0) or 2.0,
-        )
+        # None when the config carries no HU windowing (CRC/BraTS): the
+        # to_lung/to_mediastinal converters are then unavailable and callers
+        # fall back to raw grids instead of degenerate constant panels.
+        if g(ds, "window_width", None) is None:
+            self.dataset_window = None
+        else:
+            self.dataset_window = (
+                float(ds.window_width),
+                float(g(ds, "window_center", 0.0) or 0.0),
+                float(g(ds, "window_scale", 2.0) or 2.0),
+            )
 
     def _configure_steps(self):
         mode = str(self.config.run.training_mode)
@@ -215,6 +221,11 @@ class Trainer:
                 w_commit=self.first_cfg.w_commit, **kw,
             )
         elif self.use_multi_window:
+            if self.dataset_window is None:
+                raise ValueError(
+                    "multi-window training computes losses across HU windows; "
+                    "set dataset.window_width/window_center/window_scale"
+                )
             mw = dict(
                 dataset_window=self.dataset_window,
                 recon_weights=tuple(g(self.config.loss, "recon_weights", (1, 1, 1))),
@@ -328,18 +339,26 @@ class Trainer:
         )
 
     # window converters (spec base.py:290-314)
+    def _require_window(self, what: str):
+        if self.dataset_window is None:
+            raise ValueError(
+                f"{what} needs dataset.window_width/window_center/window_scale "
+                "in the config (the dataset normalization to invert back to HU)"
+            )
+        return self.dataset_window
+
     def to_lung(self, image):
-        dw, dc, s = self.dataset_window
+        dw, dc, s = self._require_window("to_lung")
         hu = denormalize(image, dw, dc, s)
         return t_normalize(hu, 1500, -550, 2.0)
 
     def to_mediastinal(self, image):
-        dw, dc, s = self.dataset_window
+        dw, dc, s = self._require_window("to_mediastinal")
         hu = denormalize(image, dw, dc, s)
         return t_normalize(hu, 400, 20, 2.0)
 
     def denormalize_ct_values(self, image):
-        dw, dc, s = self.dataset_window
+        dw, dc, s = self._require_window("denormalize_ct_values")
         return denormalize(image, dw, dc, s)
 
     # ------------------------------------------------------------------
@@ -617,8 +636,10 @@ class Trainer:
                     save_path=os.path.join(
                         self.logger.log_dir, f"val_{epoch:04d}_{i}.png"
                     ),
-                    to_lung_fn=self.to_lung,
-                    to_mediastinal_fn=self.to_mediastinal,
+                    to_lung_fn=(self.to_lung if self.dataset_window else None),
+                    to_mediastinal_fn=(
+                        self.to_mediastinal if self.dataset_window else None
+                    ),
                 )
             except Exception as e:
                 print(f"validation snapshot failed: {e}")
@@ -659,7 +680,7 @@ class Trainer:
                     dict_size=self.dict_size,
                     save_root=str(self.config.save.save_dir),
                     study_name=str(self.config.save.study_name),
-                    to_lung_fn=self.to_lung,
+                    to_lung_fn=(self.to_lung if self.dataset_window else None),
                 )
             return written
 

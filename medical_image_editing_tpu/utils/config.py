@@ -146,6 +146,11 @@ def validate_config(cfg, multi_window: bool = False, vqgan: bool = False):
                 f"NCCLungDataset without dataset.{'/'.join(missing)}: slices "
                 "load un-windowed (raw HU)"
             )
+    if multi_window and g(ds, "window_width") is None:
+        problems.append(
+            "multi-window training (-w) computes per-window losses in HU; "
+            "dataset.window_width/window_center/window_scale must be set"
+        )
 
     image_size = g(ds, "image_size")
     hw = None

@@ -47,6 +47,14 @@ def test_validation_snapshot_lung_path(tmp_path, rng):
         n_save_images=2, save_path=str(tmp_path / "val2.png"), dis_maps=maps,
     )
     assert path2 and os.path.getsize(path2) > 0
+    # non-CRC dataset whose config lacks HU windowing: falls back to the raw
+    # grid instead of rendering degenerate constant panels
+    path3 = evaluate.validation_snapshot(
+        forward, S, batch, dataset_name="MICCAIBraTSDataset", dict_size=5,
+        n_save_images=2, save_path=str(tmp_path / "val3.png"),
+        to_lung_fn=None, to_mediastinal_fn=None,
+    )
+    assert path3 and os.path.getsize(path3) > 0
 
 
 def test_logger_log_images(tmp_path, rng):

@@ -127,3 +127,43 @@ def test_first_stage_with_dropblock(rng):
     image = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
     new_state, metrics = jax.jit(step)(state, image, 0.3)
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_first_stage_decoder_stats_chain_both_views(rng):
+    """The decoder's batch_stats update from the view-1 decode must feed the
+    view-2 decode and both must survive into the new state — torch BN buffers
+    update in place between the two decodes (`single_window_trainer.py:68-159`).
+    A counting 'batch_stats' variable ends at 2 iff the updates chain."""
+    from flax import linen as nn
+
+    class CountingDecoder(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True, drop_prob=0.0):
+            cnt = self.variable(
+                "batch_stats", "count", lambda: jnp.zeros((), jnp.float32)
+            )
+            if train:
+                cnt.value = cnt.value + 1.0
+            return jnp.tanh(nn.Conv(1, (1, 1))(x))
+
+    enc = EncoderWithVQ(filters=FILTERS, dict_size=DICT, momentum=0.9)
+    dec = CountingDecoder()
+    x = jnp.zeros((1, 16, 16, 1))
+    enc_vars, vq = enc.init(jax.random.key(0), x)
+    q, *_ = enc(enc_vars, vq, x, train=False)
+    dec_vars = dec.init(jax.random.key(1), q, train=False)
+    assert float(dec_vars["batch_stats"]["count"]) == 0.0
+
+    enc_tx = make_optimizer(1e-3)
+    dec_tx = make_optimizer(1e-3)
+    state = create_train_state(
+        jax.random.key(3), enc_vars, dec_vars, vq, enc_tx, dec_tx
+    )
+    step = make_first_stage_step(
+        enc, dec, enc_tx, dec_tx,
+        loss_cfg=FirstStageLossConfig(margin=0.5),
+        aug_cfg=AUG, dict_size=DICT,
+    )
+    image = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 1)).astype(np.float32))
+    new_state, _ = step(state, image, 0.0)
+    assert float(new_state.dec_vars["batch_stats"]["count"]) == 2.0

@@ -281,8 +281,12 @@ def test_validate_config_catches_common_mistakes():
     mw_patchgan = {**vq_patchgan, "run": {"training_mode": "joint_step"}}
     with _pytest.raises(ValueError, match="UNetDiscriminator"):
         validate_config(to_config(mw_patchgan), multi_window=True)
-    # multi-window first_step never touches the dis: accepted
-    validate_config(to_config(vq_patchgan), multi_window=True)
+    # multi-window first_step never touches the dis: accepted (window params
+    # are still required — the per-window losses denormalize to HU)
+    mw_ok = {**vq_patchgan,
+             "dataset": {**vq_patchgan["dataset"], "window_width": 4096,
+                         "window_center": 0.0, "window_scale": 2.0}}
+    validate_config(to_config(mw_ok), multi_window=True)
 
     # impossible UNetDiscriminator resolution caught even in first_step
     # (the trainer inits the discriminator regardless of mode)
@@ -292,3 +296,22 @@ def test_validate_config_catches_common_mistakes():
     }}
     with _pytest.raises(ValueError, match="128/256/512"):
         validate_config(to_config(fs_bad_dis))
+
+
+def test_validate_config_multiwindow_requires_window_params():
+    import pytest as _pytest
+
+    from medical_image_editing_tpu.utils.config import to_config, validate_config
+
+    cfg = {
+        "run": {"training_mode": "first_step"},
+        "dataset": {"dataset_name": "NCCLungDataset", "image_size": [64, 64]},
+        "model": {"vqmodel": {"enc_filters": [4, 8]},
+                  "dis": {"model_name": "NLayerDiscriminator", "n_filters": 4,
+                          "n_layers": 1, "normalization": "instancenorm"}},
+    }
+    with _pytest.raises(ValueError, match="window_width"):
+        validate_config(to_config(cfg), multi_window=True)
+    # single-window: only the un-windowed-loading warning, no error
+    ws = validate_config(to_config(cfg))
+    assert any("un-windowed" in w for w in ws)
