@@ -282,7 +282,8 @@ class Trainer:
     # ------------------------------------------------------------------
     # state init + staged loading
     # ------------------------------------------------------------------
-    def init_state(self, image_size: int, batch_size: int = 1):
+    def init_state(self, image_size: int, batch_size: int = 1,
+                   load_staged: bool = True):
         in_ch = int(self.config.model.vqmodel.in_channels)
         x0 = jnp.zeros((batch_size, image_size, image_size, in_ch), jnp.float32)
         k0, k1, k2, k3, k4 = jax.random.split(self.rng_key, 5)
@@ -307,6 +308,8 @@ class Trainer:
         )
 
         run = self.config.run
+        if not load_staged:
+            return state
         if g(run, "first_stage_ckpt_path", None):
             state = restore_fields(
                 run.first_stage_ckpt_path, state, ("enc_vars", "dec_vars", "vq")
