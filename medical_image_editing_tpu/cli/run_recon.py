@@ -114,10 +114,18 @@ def load_model(config):
     tx = make_optimizer(1e-4)
     state = create_train_state(jax.random.key(3), enc_vars, dec_vars, vq, tx, tx)
     if config.resume_checkpoint:
-        state = restore_fields(
-            config.resume_checkpoint, state, ("enc_vars", "dec_vars", "vq")
-        )
-        print(f"Restored from {config.resume_checkpoint}")
+        from ..utils import torch_import as ti
+
+        p = str(config.resume_checkpoint)
+        if ti.is_lightning_ckpt(p):
+            # a reference Lightning .ckpt FILE: convert in memory — the
+            # analogue of the reference's own init_from_ckpt key surgery
+            # (`run_recon.py:98-112`) applied to a torch checkpoint
+            state = state.replace(**ti.import_first_stage_fields(p, state))
+            print(f"Imported reference Lightning ckpt {p}")
+        else:
+            state = restore_fields(p, state, ("enc_vars", "dec_vars", "vq"))
+            print(f"Restored from {p}")
     return encoder, decoder, state
 
 

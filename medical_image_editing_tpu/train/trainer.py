@@ -310,16 +310,29 @@ class Trainer:
         run = self.config.run
         if not load_staged:
             return state
+        # staged paths accept either an Orbax checkpoint directory or a
+        # reference PyTorch-Lightning .ckpt FILE (auto-converted in memory —
+        # the `import-ckpt` CLI without the intermediate directory)
+        from ..utils import torch_import as ti
+
         if g(run, "first_stage_ckpt_path", None):
-            state = restore_fields(
-                run.first_stage_ckpt_path, state, ("enc_vars", "dec_vars", "vq")
-            )
-            print(f"Restored first stage models from {run.first_stage_ckpt_path}")
+            p = str(run.first_stage_ckpt_path)
+            if ti.is_lightning_ckpt(p):
+                state = state.replace(**ti.import_first_stage_fields(p, state))
+                print(f"Imported first stage models from Lightning ckpt {p}")
+            else:
+                state = restore_fields(p, state, ("enc_vars", "dec_vars", "vq"))
+                print(f"Restored first stage models from {p}")
         if g(run, "discriminator_ckpt_path", None):
-            state = restore_fields(
-                run.discriminator_ckpt_path, state, ("dis_vars",)
-            )
-            print(f"Restored the discriminator from {run.discriminator_ckpt_path}")
+            p = str(run.discriminator_ckpt_path)
+            if ti.is_lightning_ckpt(p):
+                state = state.replace(
+                    **ti.import_discriminator_fields(p, state, self.dis_type)
+                )
+                print(f"Imported the discriminator from Lightning ckpt {p}")
+            else:
+                state = restore_fields(p, state, ("dis_vars",))
+                print(f"Restored the discriminator from {p}")
         return state
 
     # ------------------------------------------------------------------

@@ -39,12 +39,15 @@ from ..ops.vq import VQState
 __all__ = [
     "load_reference_state_dict",
     "read_ckpt_meta",
+    "is_lightning_ckpt",
     "import_unet_encoder",
     "import_vq_state",
     "import_unet_decoder",
     "import_nlayer_discriminator",
     "import_unet_discriminator",
     "import_vqgan",
+    "import_first_stage_fields",
+    "import_discriminator_fields",
 ]
 
 
@@ -73,6 +76,57 @@ def load_reference_state_dict(path: str) -> Dict[str, np.ndarray]:
         if hasattr(v, "detach"):
             out[str(k)] = np.array(v.detach().cpu().numpy(), copy=True)
     return out
+
+
+def is_lightning_ckpt(path: str) -> bool:
+    """Heuristic that never misfires in practice: reference Lightning
+    checkpoints are single `.ckpt` FILES; this framework's Orbax checkpoints
+    are directories."""
+    import os
+
+    return os.path.isfile(path)
+
+
+def import_first_stage_fields(path: str, target_state) -> dict:
+    """TrainState field updates (`enc_vars`/`dec_vars`/`vq`) from a reference
+    Lightning ckpt — the in-memory form of the staged first-stage load
+    (`base.py:85-102`), used when `run.first_stage_ckpt_path` (or a serving
+    checkpoint) points directly at a `.ckpt` file. Detects whether the
+    decoder field holds a UNetDecoder or a whole VQGAN (`base.py:204-237`).
+    """
+    sd = load_reference_state_dict(path)
+    if any(k.startswith("decoder.encoder.conv_in") for k in sd):
+        dec_vars, vq = import_vqgan(sd, "decoder.",
+                                    target_vars=target_state.dec_vars)
+        return {"dec_vars": dec_vars, "vq": vq}
+    out = {}
+    if any(k.startswith("encoder.") for k in sd):
+        out["enc_vars"] = import_unet_encoder(
+            sd, "encoder.", target_vars=target_state.enc_vars
+        )
+        out["vq"] = import_vq_state(sd, "encoder.vq.")
+    if any(k.startswith("decoder.") for k in sd):
+        out["dec_vars"] = import_unet_decoder(
+            sd, "decoder.", target_vars=target_state.dec_vars
+        )
+    if not out:
+        raise KeyError(
+            f"{path}: no encoder./decoder. keys — not a reference checkpoint"
+        )
+    return out
+
+
+def import_discriminator_fields(path: str, target_state, dis_type: str) -> dict:
+    """`dis_vars` update from a reference Lightning ckpt — the in-memory form
+    of the discriminator-only staged load (`base.py:104-114`)."""
+    sd = load_reference_state_dict(path)
+    if dis_type == "UNetDiscriminator":
+        dis = import_unet_discriminator(sd, "discriminator.",
+                                        target_vars=target_state.dis_vars)
+    else:
+        dis = import_nlayer_discriminator(sd, "discriminator.",
+                                          target_vars=target_state.dis_vars)
+    return {"dis_vars": dis}
 
 
 def read_ckpt_meta(path: str) -> Dict[str, int]:

@@ -149,6 +149,36 @@ def test_import_decoder_last_pixel_shuffle_head(ref, rng, tmp_path):
     )
 
 
+def test_import_encoder_styled_variant_detected_and_checked(ref, tmp_path):
+    """The styled-up-block encoder path is detected from the key space. The
+    reference's OWN styled encoder is unrunnable (`unet_encoder.py:46` builds
+    `up_conv1_1` with the wrong in_channels — any forward crashes, so no
+    trained ckpt of it can exist); importing such a ckpt must fail loudly on
+    the shape check rather than produce silently-wrong weights. A user's
+    locally-fixed styled encoder (correct in_channels) imports cleanly — the
+    mapping itself is exercised via the decoder tests (same block type)."""
+    torch = ref["torch"]
+    tenc = ref["enc"].UNetEncoder(
+        in_channels=1, filters=FILTERS, dict_size=5, use_styled_up_block=True,
+        init_embed=True, knn_backend="torch",
+    )
+    path = _save_ckpt(tmp_path, torch, {"encoder": tenc})
+    sd = ti.load_reference_state_dict(path)
+
+    from medical_image_editing_tpu.models import UNetEncoder
+
+    jenc = UNetEncoder(filters=tuple(FILTERS), use_styled_up_block=True)
+    target = jenc.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)),
+                       train=False)
+    with pytest.raises(ValueError, match="shape"):
+        ti.import_unet_encoder(sd, "encoder.", target_vars=target)
+    # without a target the structural mapping itself succeeds (styled blocks
+    # + BN stats detected)
+    enc_vars = ti.import_unet_encoder(sd, "encoder.")
+    assert "StyledResUpBlock_0" in enc_vars["params"]
+    assert "batch_stats" in enc_vars
+
+
 def test_import_encoder_rejects_mismatched_architecture(ref, tmp_path):
     torch = ref["torch"]
     tenc = ref["enc"].UNetEncoder(
@@ -316,6 +346,71 @@ def test_import_ckpt_cli_end_to_end(ref, rng, tmp_path):
     # discriminator came across too
     r = trainer.dis.apply(state.dis_vars, jnp.zeros((1, 32, 32, 1)), train=False)
     assert np.all(np.isfinite(np.asarray(r)))
+
+
+@pytest.mark.slow
+def test_lightning_ckpt_file_accepted_directly(ref, rng, tmp_path):
+    """`run.first_stage_ckpt_path` / `run.discriminator_ckpt_path` and
+    `run_recon`'s `resume_checkpoint` accept a reference Lightning `.ckpt`
+    FILE directly (auto-converted in memory; Orbax checkpoints are
+    directories, so a plain isfile check disambiguates)."""
+    import json
+    import types
+
+    torch = ref["torch"]
+    from test_end_to_end import _config
+
+    tenc = ref["enc"].UNetEncoder(
+        in_channels=1, filters=FILTERS, dict_size=5, use_styled_up_block=False,
+        init_embed=True, knn_backend="torch",
+    ).eval()
+    tdec = ref["dec"].UNetDecoder(
+        in_channels=FILTERS[0], out_channels=1, filters=FILTERS,
+        use_dropblock=False, dropped_skip_layers=[], use_styled_up_block=True,
+        use_pixel_shuffle=False,
+    ).eval()
+    disc_mod = ph.import_ref_module("discriminator")
+    tdis = disc_mod.NLayerDiscriminator(
+        in_channels=1, out_channels=1, n_filters=8, n_layers=2,
+        normalization="instancenorm",
+    ).eval()
+    ckpt = _save_ckpt(
+        tmp_path, torch,
+        {"encoder": tenc, "decoder": tdec, "discriminator": tdis},
+    )
+
+    cfg = _config(tmp_path, tmp_path / "data")
+    cfg["run"]["first_stage_ckpt_path"] = ckpt     # a FILE, not a dir
+    cfg["run"]["discriminator_ckpt_path"] = ckpt
+    from medical_image_editing_tpu.train.trainer import Trainer
+    from medical_image_editing_tpu.utils.config import to_config
+
+    trainer = Trainer(to_config(cfg), logger=None)
+    state = trainer.init_state(32)
+    np.testing.assert_allclose(
+        np.asarray(state.vq.embed), tenc.vq.embed.numpy(), rtol=1e-6
+    )
+    assert any(
+        k.startswith("Conv_") for k in state.dis_vars["params"]
+    )  # discriminator came across
+
+    # serving surface: run_recon.load_model with the .ckpt file
+    from medical_image_editing_tpu.cli.run_recon import load_model
+
+    rc_cfg = types.SimpleNamespace(
+        in_channels=1, enc_filters=FILTERS, dec_filters=FILTERS, dict_size=5,
+        momentum=0.99, use_dropblock=False, block_size=3,
+        dropped_skip_layers=[], use_pixel_shuffle=False,
+        resume_checkpoint=ckpt,
+    )
+    _, decoder, rstate = load_model(rc_cfg)
+    np.testing.assert_allclose(
+        np.asarray(rstate.vq.embed), tenc.vq.embed.numpy(), rtol=1e-6
+    )
+    out = decoder.apply(
+        rstate.dec_vars, jnp.zeros((1, 32, 32, FILTERS[0])), False, 0.0
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 @pytest.mark.slow
