@@ -5,8 +5,11 @@ The inverse of `import-ckpt` — train here on TPU, hand the `.ckpt` to a
 collaborator running the reference on GPUs: its `state_dict` loads into the
 reference's own modules with `load_state_dict(strict=True)` (prefixes
 `encoder.` / `decoder.` / `discriminator.`, `run_recon.py:99-111`,
-`trainers/base.py:85-114`). Optimizer states are not exported (Lightning can
-resume training from a weights-only ckpt with fresh optimizers).
+`trainers/base.py:85-114`), i.e. its inference surgery and staged loaders
+(`load_from_checkpoint` / `first_stage_ckpt_path` / `discriminator_ckpt_path`)
+all accept the file. It is NOT a full Lightning training checkpoint —
+optimizer states are not exported, so Trainer `resume_from_checkpoint` is out
+of scope; a reference-side fine-tune starts fresh optimizers.
 
 Usage:
     export-ckpt -c config.json --ckpt results/study/version_0/ckpt --out ref.ckpt
@@ -32,7 +35,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..train.trainer import Trainer
-    from ..utils.checkpoint import CheckpointManager
+    from ..utils.checkpoint import restore_state
     from ..utils.compile_cache import enable_compile_cache
     from ..utils.config import getattr_else_none as g
     from ..utils.config import load_json, validate_config
@@ -56,7 +59,7 @@ def main(argv=None):
         use_multi_window=bool(args.multiwindow), use_vqgan=bool(args.vqgan),
     )
     state = trainer.init_state(size, load_staged=False)
-    state = CheckpointManager(args.ckpt).restore(state, epoch=args.epoch)
+    state = restore_state(args.ckpt, state, epoch=args.epoch)
 
     named = {}
     if trainer.vqgan is not None:

@@ -68,14 +68,14 @@ def main(argv=None):
     )
     state = trainer.init_state(size, load_staged=False)
 
-    sd = ti.load_reference_state_dict(args.ckpt)
-    meta = ti.read_ckpt_meta(args.ckpt)
+    sd, meta = ti.load_reference_ckpt(args.ckpt)
     imported = []
     updates = {}
 
     if args.vqgan or any(k.startswith("decoder.encoder.conv_in") for k in sd):
         dec_vars, vq = ti.import_vqgan(sd, "decoder.",
-                                       target_vars=state.dec_vars)
+                                       target_vars=state.dec_vars,
+                                       target_vq=state.vq)
         updates.update(dec_vars=dec_vars, vq=vq)
         imported.append("VQGAN (decoder field) + VQ buffers")
     else:
@@ -83,7 +83,8 @@ def main(argv=None):
             updates["enc_vars"] = ti.import_unet_encoder(
                 sd, "encoder.", target_vars=state.enc_vars
             )
-            updates["vq"] = ti.import_vq_state(sd, "encoder.vq.")
+            updates["vq"] = ti.import_vq_state(sd, "encoder.vq.",
+                                               target=state.vq)
             imported.append("UNetEncoder + VQ buffers")
         if any(k.startswith("decoder.") for k in sd):
             updates["dec_vars"] = ti.import_unet_decoder(

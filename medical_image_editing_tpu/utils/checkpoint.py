@@ -156,6 +156,20 @@ class CheckpointManager:
         return self._ckptr.restore(path, target=target)
 
 
+def restore_state(ckpt_dir_or_path: str, target_state, epoch: Optional[int] = None):
+    """Full-state restore accepting either a checkpoint parent directory or a
+    specific `ckpt-epoch=NNNN[-step=M]` subdirectory — the same affordance
+    `restore_fields` gives the staged-load paths."""
+    path = ckpt_dir_or_path
+    if _CKPT_RE.search(os.path.basename(os.path.normpath(path))):
+        return ocp.StandardCheckpointer().restore(
+            os.path.abspath(path), target=target_state
+        )
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"checkpoint directory does not exist: {path}")
+    return CheckpointManager(path).restore(target_state, epoch=epoch)
+
+
 def restore_fields(ckpt_dir_or_path: str, target_state, fields: Sequence[str],
                    epoch: Optional[int] = None):
     """Prefix-selective restore: copy only the named TrainState fields (e.g.

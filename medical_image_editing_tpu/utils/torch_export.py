@@ -388,8 +388,12 @@ def export_vqgan(vqgan_vars: dict, vq: VQState, module) -> Dict[str, np.ndarray]
 def save_lightning_ckpt(path: str, named: Dict[str, Dict[str, np.ndarray]],
                         epoch: int = 0, step: int = 0) -> str:
     """Write `{'state_dict': {'<name>.<key>': tensor}, 'epoch', 'global_step'}`
-    — the shape the reference's loaders expect (`run_recon.py:99-111`,
-    `base.py:85-114`, Lightning `resume_from_checkpoint`)."""
+    — the shape the reference's own checkpoint consumers expect
+    (`run_recon.py:99-111` inference surgery, `base.py:85-114` staged loads).
+    NOT a full PyTorch-Lightning training checkpoint: Trainer
+    `resume_from_checkpoint` would also need `optimizer_states` etc., which do
+    not exist here — a reference-side fine-tune starts fresh optimizers via
+    the staged-load paths."""
     import torch
 
     sd = {}

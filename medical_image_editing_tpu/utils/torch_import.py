@@ -37,6 +37,7 @@ import numpy as np
 from ..ops.vq import VQState
 
 __all__ = [
+    "load_reference_ckpt",
     "load_reference_state_dict",
     "read_ckpt_meta",
     "is_lightning_ckpt",
@@ -56,26 +57,48 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
-def load_reference_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a reference checkpoint into a flat {key: float32 numpy} dict.
-
-    Accepts a Lightning `.ckpt` (keys nested under 'state_dict',
-    `run_recon.py:99-100`) or a bare `torch.save`d state_dict.
-    """
+def _load_raw(path: str):
     import torch
 
     try:
-        obj = torch.load(path, map_location="cpu", weights_only=True)
+        return torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
         # Lightning ckpts pickle non-tensor metadata (hparams, loops)
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "state_dict" in obj:
-        obj = obj["state_dict"]
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_reference_ckpt(path: str):
+    """One-pass load of a reference checkpoint.
+
+    Returns `(state_dict, meta)` where state_dict is a flat
+    {key: float32 numpy} dict and meta is {'epoch', 'step'} (zeros for a bare
+    `torch.save`d state_dict). Accepts a Lightning `.ckpt` (keys nested under
+    'state_dict', `run_recon.py:99-100`) or a bare state_dict. Floating
+    tensors are cast to float32 so half-precision exports import into the f32
+    parameter trees instead of silently changing training/serving dtypes.
+    """
+    obj = _load_raw(path)
+    meta = {"epoch": 0, "step": 0}
+    if isinstance(obj, dict):
+        meta = {
+            "epoch": int(obj.get("epoch", 0) or 0),
+            "step": int(obj.get("global_step", 0) or 0),
+        }
+        if "state_dict" in obj:
+            obj = obj["state_dict"]
     out = {}
     for k, v in obj.items():
         if hasattr(v, "detach"):
-            out[str(k)] = np.array(v.detach().cpu().numpy(), copy=True)
-    return out
+            a = np.array(v.detach().cpu().numpy(), copy=True)
+            if np.issubdtype(a.dtype, np.floating):
+                a = a.astype(np.float32, copy=False)
+            out[str(k)] = a
+    return out, meta
+
+
+def load_reference_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference checkpoint into a flat {key: float32 numpy} dict."""
+    return load_reference_ckpt(path)[0]
 
 
 def is_lightning_ckpt(path: str) -> bool:
@@ -97,14 +120,15 @@ def import_first_stage_fields(path: str, target_state) -> dict:
     sd = load_reference_state_dict(path)
     if any(k.startswith("decoder.encoder.conv_in") for k in sd):
         dec_vars, vq = import_vqgan(sd, "decoder.",
-                                    target_vars=target_state.dec_vars)
+                                    target_vars=target_state.dec_vars,
+                                    target_vq=target_state.vq)
         return {"dec_vars": dec_vars, "vq": vq}
     out = {}
     if any(k.startswith("encoder.") for k in sd):
         out["enc_vars"] = import_unet_encoder(
             sd, "encoder.", target_vars=target_state.enc_vars
         )
-        out["vq"] = import_vq_state(sd, "encoder.vq.")
+        out["vq"] = import_vq_state(sd, "encoder.vq.", target=target_state.vq)
     if any(k.startswith("decoder.") for k in sd):
         out["dec_vars"] = import_unet_decoder(
             sd, "decoder.", target_vars=target_state.dec_vars
@@ -131,19 +155,9 @@ def import_discriminator_fields(path: str, target_state, dis_type: str) -> dict:
 
 def read_ckpt_meta(path: str) -> Dict[str, int]:
     """Training-progress metadata from a Lightning ckpt ({'epoch', 'step'};
-    zeros for a bare state_dict)."""
-    import torch
-
-    try:
-        obj = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-    if not isinstance(obj, dict):
-        return {"epoch": 0, "step": 0}
-    return {
-        "epoch": int(obj.get("epoch", 0) or 0),
-        "step": int(obj.get("global_step", 0) or 0),
-    }
+    zeros for a bare state_dict). Prefer `load_reference_ckpt` when the
+    weights are needed too — it reads the file once."""
+    return load_reference_ckpt(path)[1]
 
 
 class _SD:
@@ -285,9 +299,16 @@ def _check_tree(built, target, where: str):
 # ---------------------------------------------------------------------------
 
 
-def import_vq_state(sd: Dict[str, np.ndarray], prefix: str = "encoder.vq.") -> VQState:
+def import_vq_state(
+    sd: Dict[str, np.ndarray],
+    prefix: str = "encoder.vq.",
+    target: Optional[VQState] = None,
+) -> VQState:
     """VQ buffers (`vq_module.py:154-157`). The reference stores `embed_avg`
-    as (C,K); our `VQState` keeps (K,C) — transposed on import."""
+    as (C,K); our `VQState` keeps (K,C) — transposed on import. With `target`
+    (the configured model's VQState) the buffer shapes are validated, so a
+    dict_size/embedding-dim mismatch fails here instead of surfacing as wrong
+    edits or a far-away Orbax restore error."""
     s = _SD(sd, prefix)
     state = VQState(
         embed=_a(s.take("embed")),
@@ -295,6 +316,21 @@ def import_vq_state(sd: Dict[str, np.ndarray], prefix: str = "encoder.vq.") -> V
         embed_avg=_a(s.take("embed_avg").T),
     )
     s.assert_consumed("VQ")
+    if target is not None:
+        bad = [
+            f"{name}: ckpt{tuple(got.shape)} vs model{tuple(want.shape)}"
+            for name, got, want in (
+                ("embed", state.embed, target.embed),
+                ("cluster_size", state.cluster_size, target.cluster_size),
+                ("embed_avg", state.embed_avg, target.embed_avg),
+            )
+            if tuple(got.shape) != tuple(want.shape)
+        ]
+        if bad:
+            raise ValueError(
+                "VQ: checkpoint codebook does not match the configured model "
+                f"(dict_size/embedding mismatch?): {bad}"
+            )
     return state
 
 
@@ -409,9 +445,10 @@ def import_nlayer_discriminator(
     Layer kinds are classified from each `main.{i}` key group: `weight_orig`
     ⇒ spectral-norm conv, `running_mean` ⇒ BatchNorm, `loc` ⇒ ActNorm,
     4-D `weight` ⇒ plain conv. torch's spectral_norm stores u as (O,); flax
-    SpectralNorm wants (1,O) and a sigma placeholder (recomputed in train
-    mode; torch normalizes by sigma inside `weight`, so eval parity uses the
-    train-mode path exactly as the parity tests do).
+    SpectralNorm wants (1,O) plus a sigma scalar — derived here from the
+    checkpoint's u/v/weight_orig exactly as torch's eval forward computes it
+    (flax re-derives the divisor from u at every apply; the stored sigma is
+    bookkeeping kept truthful for consistency with the BigGAN sv0 buffers).
     """
     s = _SD(sd, prefix)
     groups: Dict[int, set] = {}
@@ -428,16 +465,29 @@ def import_nlayer_discriminator(
         leaves = groups[idx]
         p = f"main.{idx}"
         if "weight_orig" in leaves:
-            cp = {"kernel": _k(s.take(f"{p}.weight_orig"))}
+            w = s.take(f"{p}.weight_orig")
+            u = s.take(f"{p}.weight_u")
+            cp = {"kernel": _k(w)}
             if "bias" in leaves:
                 cp["bias"] = _a(s.take(f"{p}.bias"))
             params[f"Conv_{n_conv}"] = cp
-            stats[f"SpectralNorm_{n_conv}"] = {
-                f"Conv_{n_conv}/kernel/u": _a(s.take(f"{p}.weight_u")[None, :]),
-                f"Conv_{n_conv}/kernel/sigma": jnp.ones(()),
-            }
+            # Store torch's actual sigma = uᵀ·W_mat·v (stored u/v, exactly what
+            # torch's eval forward divides by) instead of a 1.0 placeholder.
+            # flax SpectralNorm recomputes sigma from u at every apply (the
+            # stored scalar is bookkeeping, not the divisor), so this keeps the
+            # checkpoint self-consistent with the BigGAN sv0 imports and
+            # truthful for anything that reads the stats.
+            w_mat = w.reshape(w.shape[0], -1)
             if "weight_v" in leaves:
-                s.used.add(prefix + f"{p}.weight_v")  # flax re-derives v
+                v = s.take(f"{p}.weight_v")
+            else:
+                wv = w_mat.T @ u
+                v = wv / (np.linalg.norm(wv) + 1e-12)
+            sigma = float(u @ (w_mat @ v))
+            stats[f"SpectralNorm_{n_conv}"] = {
+                f"Conv_{n_conv}/kernel/u": _a(u[None, :]),
+                f"Conv_{n_conv}/kernel/sigma": jnp.asarray(sigma, jnp.float32),
+            }
             n_conv += 1
         elif "running_mean" in leaves:
             params[f"BatchNorm_{n_norm}"] = {
@@ -623,6 +673,7 @@ def import_vqgan(
     sd: Dict[str, np.ndarray],
     prefix: str = "decoder.",
     target_vars: Optional[dict] = None,
+    target_vq: Optional[VQState] = None,
 ) -> Tuple[dict, VQState]:
     """Reference `VQGAN` (the trainer's `decoder` field holds the whole
     autoencoder, `base.py:204-222`) → (our flax variables, VQState).
@@ -681,7 +732,7 @@ def import_vqgan(
     dec["GroupNorm_0"] = _gn(s, "decoder.norm_out")
     dec["Conv_1"] = _conv(s, "decoder.conv_out")
 
-    vq = import_vq_state(sd, prefix=f"{prefix}vq.")
+    vq = import_vq_state(sd, prefix=f"{prefix}vq.", target=target_vq)
     for k in ("embed", "cluster_size", "embed_avg"):
         s.used.add(prefix + f"vq.{k}")
     s.assert_consumed("VQGAN")

@@ -237,60 +237,16 @@ def unet_discriminator_params(tdis):
 def nlayer_discriminator_params(tdis, normalization: str, spectral: bool, train: bool):
     """Reference NLayerDiscriminator (+optional torch spectral_norm) → ours.
 
-    Layer order (spec `discriminator.py:54-82`): Conv, LReLU, then
-    (n_layers-1 + 1) × [Conv, Norm, LReLU], final Conv.
-    """
-    import torch
+    Delegates to the framework's state_dict importer so there is exactly one
+    implementation of this layout-sensitive conversion (the tests exercise the
+    same code path users run via `import-ckpt`)."""
+    import numpy as np
 
-    params, stats, actnorm = {}, {}, {}
-    n_conv = n_norm = 0
-    for m in tdis.main:
-        if isinstance(m, torch.nn.Conv2d):
-            if spectral:
-                p = {"kernel": _k(m.weight_orig)}
-                if m.bias is not None:
-                    p["bias"] = _b(m.bias)
-                params[f"Conv_{n_conv}"] = p
-                stats[f"SpectralNorm_{n_conv}"] = {
-                    f"Conv_{n_conv}/kernel/u": jnp.asarray(
-                        _np(m.weight_u)[None, :]
-                    ),
-                    f"Conv_{n_conv}/kernel/sigma": jnp.ones(()),
-                }
-            else:
-                p = {"kernel": _k(m.weight)}
-                if m.bias is not None:
-                    p["bias"] = _b(m.bias)
-                params[f"Conv_{n_conv}"] = p
-            n_conv += 1
-        elif isinstance(m, torch.nn.BatchNorm2d):
-            params[f"BatchNorm_{n_norm}"] = {
-                "scale": _b(m.weight),
-                "bias": _b(m.bias),
-            }
-            stats[f"BatchNorm_{n_norm}"] = {
-                "mean": jnp.asarray(_np(m.running_mean)),
-                "var": jnp.asarray(_np(m.running_var)),
-            }
-            n_norm += 1
-        elif type(m).__name__ == "ActNorm":
-            c = m.loc.numel()
-            params[f"ActNorm_{n_norm}"] = {
-                "loc": _b(m.loc.squeeze()),
-                "scale": _b(m.scale.squeeze()),
-            }
-            actnorm[f"ActNorm_{n_norm}"] = {
-                "initialized": jnp.ones((), jnp.bool_),
-                "data_loc": jnp.zeros((c,)),
-                "data_scale": jnp.ones((c,)),
-            }
-            n_norm += 1
-    out = {"params": params}
-    if stats:
-        out["batch_stats"] = stats
-    if actnorm:
-        out["actnorm"] = actnorm
-    return out
+    from medical_image_editing_tpu.utils import torch_import as ti
+
+    sd = {k: np.array(v.detach().cpu().numpy(), copy=True)
+          for k, v in tdis.state_dict().items()}
+    return ti.import_nlayer_discriminator(sd, prefix="")
 
 
 # ---------------------------------------------------------------------------

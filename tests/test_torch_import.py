@@ -453,3 +453,78 @@ def test_import_vqgan_parity(rng, tmp_path):
         rtol=1e-3, atol=1e-4,
     )
     np.testing.assert_allclose(float(commit_j), float(commit_t), rtol=1e-3)
+
+
+def test_import_casts_half_precision_to_f32(ref, tmp_path):
+    """A reference ckpt saved in fp16 (e.g. model.half()) must import as f32:
+    shape-only validation would otherwise let fp16 leaves silently replace f32
+    params and break the later Orbax restore against an f32 skeleton."""
+    torch = ref["torch"]
+    tenc = ref["enc"].UNetEncoder(
+        in_channels=1, filters=FILTERS, dict_size=5, use_styled_up_block=False,
+        init_embed=True, knn_backend="torch",
+    ).half()
+    path = _save_ckpt(tmp_path, torch, {"encoder": tenc})
+
+    sd, meta = ti.load_reference_ckpt(path)
+    assert meta == {"epoch": 2, "step": 17}
+    assert all(v.dtype == np.float32 for v in sd.values())
+    enc_vars = ti.import_unet_encoder(sd, "encoder.")
+    leaf = enc_vars["params"]["ResBlock_0"]["Conv_0"]["kernel"]
+    assert leaf.dtype == jnp.float32
+
+
+def test_import_vq_state_validates_codebook_shape(ref, tmp_path):
+    """dict_size mismatches must fail at import, not as wrong edits or a
+    far-away Orbax restore error (encoder conv shapes are independent of
+    dict_size, so only the VQ buffers can catch this)."""
+    torch = ref["torch"]
+    tenc = ref["enc"].UNetEncoder(
+        in_channels=1, filters=FILTERS, dict_size=8, use_styled_up_block=False,
+        init_embed=True, knn_backend="torch",
+    )
+    path = _save_ckpt(tmp_path, torch, {"encoder": tenc})
+    sd = ti.load_reference_state_dict(path)
+
+    from medical_image_editing_tpu.ops.vq import vq_init
+
+    good = vq_init(jax.random.key(0), 8, FILTERS[0])
+    ti.import_vq_state(sd, "encoder.vq.", target=good)  # matching: fine
+    bad = vq_init(jax.random.key(0), 5, FILTERS[0])
+    with pytest.raises(ValueError, match="dict_size"):
+        ti.import_vq_state(sd, "encoder.vq.", target=bad)
+
+
+def test_import_nlayer_spectral_sigma_is_torch_eval_sigma(rng, tmp_path):
+    """The stored SpectralNorm sigma must be torch's actual eval-mode divisor
+    u^T.W.v (stored u/v), not a 1.0 placeholder."""
+    torch = pytest.importorskip("torch")
+    disc_mod = ph.import_ref_module("discriminator")
+    tdis = disc_mod.NLayerDiscriminator(
+        in_channels=1, out_channels=1, n_filters=8, n_layers=2,
+        normalization="instancenorm",
+    )
+    sn_convs = []
+    for m in tdis.main:
+        if isinstance(m, torch.nn.Conv2d):
+            torch.nn.utils.spectral_norm(m)
+            sn_convs.append(m)
+    x = rng.normal(size=(2, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        for _ in range(3):
+            tdis(torch.from_numpy(x))  # a few power iterations on u/v
+
+    path = _save_ckpt(tmp_path, torch, {"discriminator": tdis})
+    sd = ti.load_reference_state_dict(path)
+    dis_vars = ti.import_nlayer_discriminator(sd, "discriminator.")
+
+    for i, m in enumerate(sn_convs):
+        w = m.weight_orig.detach().numpy().reshape(m.weight_orig.shape[0], -1)
+        u = m.weight_u.detach().numpy()
+        v = m.weight_v.detach().numpy()
+        sigma_t = float(u @ (w @ v))
+        sigma_j = float(
+            dis_vars["batch_stats"][f"SpectralNorm_{i}"][f"Conv_{i}/kernel/sigma"]
+        )
+        assert sigma_j == pytest.approx(sigma_t, rel=1e-6)
+        assert abs(sigma_j - 1.0) > 1e-3  # it is not the old placeholder

@@ -315,3 +315,30 @@ def test_validate_config_multiwindow_requires_window_params():
     # single-window: only the un-windowed-loading warning, no error
     ws = validate_config(to_config(cfg))
     assert any("un-windowed" in w for w in ws)
+
+
+def test_restore_state_accepts_specific_ckpt_subdirectory(tmp_path):
+    """export-ckpt's restore must take both the parent directory and a
+    specific ckpt-epoch=NNNN subdirectory, like restore_fields does."""
+    import os
+
+    from medical_image_editing_tpu.utils.checkpoint import restore_state
+
+    state = _tiny_state(3)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(state, epoch=4)
+    target = _tiny_state(0)
+
+    by_dir = restore_state(str(tmp_path / "ck"), target)
+    sub = os.path.join(str(tmp_path / "ck"), "ckpt-epoch=0004")
+    assert os.path.isdir(sub)
+    by_sub = restore_state(sub, target)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(by_dir),
+                    jax.tree_util.tree_leaves(by_sub)):
+        assert (a == b).all()
+
+    with pytest.raises(FileNotFoundError):
+        restore_state(str(tmp_path / "nope"), target)
+    assert not os.path.exists(str(tmp_path / "nope"))
