@@ -92,13 +92,20 @@ def build():
 
 
 def main():
+    import sys
+
+    # A downed axon tunnel makes PJRT plugin init block forever; fail loudly
+    # within a bounded budget instead of hanging with no output.
+    from medical_image_editing_tpu.utils.device_probe import require_default_backend
+
+    platform = require_default_backend(what="bench.py")
+    print(f"default backend: {platform}", file=sys.stderr, flush=True)
+
     try:
         from bench_edit import run_edit_benchmarks
 
         run_edit_benchmarks()
     except Exception as e:  # edit metrics are additive — never break the headline
-        import sys
-
         print(f"edit benchmarks failed: {e!r}", file=sys.stderr)
 
     state, step = build()

@@ -132,6 +132,9 @@ def run_edit_benchmarks(budget_s: float = None):
 
 
 def main():
+    from medical_image_editing_tpu.utils.device_probe import require_default_backend
+
+    require_default_backend(what="bench_edit.py")
     run_edit_benchmarks()
 
 
