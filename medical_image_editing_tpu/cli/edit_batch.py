@@ -174,6 +174,10 @@ def main(argv=None):
                              "latency; params/checkpoints stay f32)")
     args = parser.parse_args(argv)
 
+    from . import cli_setup
+
+    cli_setup("edit-batch")
+
     mesh = None
     if args.partition != "none":
         from jax.sharding import Mesh

@@ -140,6 +140,10 @@ def main(argv=None):
     p.add_argument("--uint8", action="store_true")
     args = p.parse_args(argv)
 
+    from . import cli_setup
+
+    cli_setup("edit-volume")
+
     filters = tuple(int(f) for f in args.filters.split(","))
     decoder, dec_vars, vq = load_volumetric_checkpoint(
         args.ckpt, filters=filters, dict_size=args.dict_size

@@ -34,14 +34,14 @@ def main(argv=None):
     parser.add_argument("--image-size", type=int, default=None)
     args = parser.parse_args(argv)
 
+    from . import cli_setup
     from ..train.trainer import Trainer
     from ..utils.checkpoint import restore_state
-    from ..utils.compile_cache import enable_compile_cache
     from ..utils.config import getattr_else_none as g
     from ..utils.config import load_json, validate_config
     from ..utils import torch_export as te
 
-    enable_compile_cache()
+    cli_setup("export-ckpt")
     config = load_json(args.config)
     for w in validate_config(config, multi_window=bool(args.multiwindow),
                              vqgan=bool(args.vqgan)):

@@ -101,6 +101,10 @@ def main(argv=None):
                         "tests only — the artifact would serve random weights)")
     args = p.parse_args(argv)
 
+    from . import cli_setup
+
+    cli_setup("export-edit")
+
     config = LungConfig() if args.config == "lung" else CRCConfig()
     if args.dtype:
         config.compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.dtype]

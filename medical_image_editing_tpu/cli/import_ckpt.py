@@ -42,14 +42,14 @@ def main(argv=None):
                         help="override dataset.image_size for model init")
     args = parser.parse_args(argv)
 
+    from . import cli_setup
     from ..train.trainer import Trainer
     from ..utils.checkpoint import CheckpointManager
-    from ..utils.compile_cache import enable_compile_cache
     from ..utils.config import getattr_else_none as g
     from ..utils.config import load_json, validate_config
     from ..utils import torch_import as ti
 
-    enable_compile_cache()
+    cli_setup("import-ckpt")
     config = load_json(args.config)
     for w in validate_config(config, multi_window=bool(args.multiwindow),
                              vqgan=bool(args.vqgan)):

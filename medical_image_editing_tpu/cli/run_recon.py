@@ -292,6 +292,10 @@ def main(argv=None):
                         help="'spatial' GSPMD-shards the slice's rows over "
                              "all local chips (multi-chip latency)")
     args = parser.parse_args(argv)
+
+    from . import cli_setup
+
+    cli_setup("run-recon")
     config = LungConfig() if args.config == "lung" else CRCConfig()
     if args.dtype:
         config.compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.dtype]

@@ -79,6 +79,10 @@ def main(argv=None):
                         help="smoke-run cap (not in the reference CLI)")
     args = parser.parse_args(argv)
 
+    from . import cli_setup
+
+    cli_setup("run-vqwnet")
+
     from ..utils.config import getattr_else_none as g
     from ..utils.config import load_dotenv, load_json
 

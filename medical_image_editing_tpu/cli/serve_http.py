@@ -196,6 +196,10 @@ def main(argv=None):
                         help="decode compute dtype (bf16 cuts TPU edit "
                              "latency; params/checkpoints stay f32)")
     args = parser.parse_args(argv)
+
+    from . import cli_setup
+
+    cli_setup("serve-edit")
     config = LungConfig() if args.config == "lung" else CRCConfig()
     if args.dtype:
         config.compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.dtype]

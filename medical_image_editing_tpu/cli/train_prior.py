@@ -82,6 +82,10 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
+    from . import cli_setup
+
+    cli_setup("train-prior")
+
     import jax
     import jax.numpy as jnp
     import numpy as np
