@@ -348,6 +348,114 @@ def test_second_stage_unet_dis_loss_values(ref_unet_dis, rng):
     )
 
 
+@pytest.mark.slow
+def test_second_stage_nl_dis_loss_values(ref_discriminator, rng):
+    """`_train_second_step_nl_dis` (spec `single_window_trainer.py:434-539`):
+    MSE recon (the nl_dis branch never uses L1 even when `use_l1_loss` is
+    set), focal-frequency, l_gen = −mean(dis(recon)), and the hinge dis loss
+    on the pre-update (stale) recon — every metric from our real
+    `make_second_stage_step` pinned against the reference math executed in
+    torch with the same transplanted UNetDecoder + NLayerDiscriminator."""
+    import optax
+
+    from medical_image_editing_tpu.models import NLayerDiscriminator, UNetDecoder
+    from medical_image_editing_tpu.train.second_stage import (
+        SecondStageLossConfig,
+        make_second_stage_step,
+    )
+    from medical_image_editing_tpu.train.state import TrainState
+
+    ref_dec_mod = ph.import_ref_module("unet_decoder")
+
+    B, S, C_EMB = 2, 64, 4
+    filters = [4, 8, 16, 32, 64]
+
+    tdec = ref_dec_mod.UNetDecoder(
+        in_channels=C_EMB, out_channels=1, filters=filters,
+        use_dropblock=False, dropped_skip_layers=[],
+        use_styled_up_block=True, use_pixel_shuffle=False,
+    ).train()
+    tdis = ref_discriminator.NLayerDiscriminator(
+        in_channels=1, out_channels=1, n_filters=8, n_layers=2,
+        normalization="instancenorm",
+    ).train()
+
+    jdec = UNetDecoder(
+        out_channels=1, filters=tuple(filters), dropped_skip_layers=(),
+        use_pixel_shuffle=False,
+    )
+    jdis = NLayerDiscriminator(n_filters=8, n_layers=2,
+                               normalization="instancenorm")
+
+    image = rng.uniform(-1, 1, (B, S, S, 1)).astype(np.float32)
+    q = rng.normal(size=(B, S, S, C_EMB)).astype(np.float32)
+
+    def encoder(enc_vars, vq, img, train):
+        return jnp.asarray(q), jnp.float32(0.0), None, vq, {}
+
+    dec_init = jdec.init(
+        {"params": jax.random.key(0), "dropblock": jax.random.key(1)},
+        jnp.asarray(q), train=False,
+    )
+    dec_vars = {
+        "params": ph.unet_decoder_params(tdec),
+        "batch_stats": dec_init["batch_stats"],
+    }
+    dis_vars = ph.nlayer_discriminator_params(tdis, "instancenorm", False, True)
+
+    loss_cfg = SecondStageLossConfig(
+        w_recon=1.0, w_freq=0.5, w_gen=0.25, w_dis=0.75,
+        use_l1_loss=True,  # must be IGNORED on the nl_dis branch (MSE, `:449`)
+        use_unet_perceptual_loss=False, n_inner_loops=1,
+    )
+    tx = optax.sgd(0.0)  # values only; no parameter motion needed
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
+        rng=jax.random.key(42),
+        enc_vars={"params": {}}, dec_vars=dec_vars, dis_vars=dis_vars,
+        vq=None, enc_opt=(), dec_opt=tx.init(dec_vars["params"]),
+        dis_opt=tx.init(dis_vars["params"]),
+    )
+    step = make_second_stage_step(
+        encoder, jdec, jdis, tx, tx, loss_cfg=loss_cfg,
+        dis_type="NLayerDiscriminator",
+    )
+    _, metrics = jax.jit(step)(state, jnp.asarray(image))
+    metrics = {k: float(v) for k, v in metrics.items()}
+
+    # --- reference math in torch (spec `single_window_trainer.py:434-498`) --
+    import torch.nn.functional as F
+
+    img_t = torch.from_numpy(image.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        recon_t = tdec(torch.from_numpy(q.transpose(0, 3, 1, 2)))
+        l_recon = F.mse_loss(recon_t, img_t).item()  # MSE even with use_l1_loss
+        l_gen = (-tdis(recon_t).mean()).item()
+        r_logits = tdis(img_t)
+        f_logits = tdis(recon_t)  # stale recon: dec stepped, dis sees old recon
+        l_dis = 0.5 * (
+            F.relu(1.0 - r_logits).mean() + F.relu(1.0 + f_logits).mean()
+        ).item()
+
+    from medical_image_editing_tpu.ops.losses import focal_frequency_loss
+
+    recon_j_for_freq = np.asarray(recon_t.numpy().transpose(0, 2, 3, 1))
+    l_freq = float(
+        focal_frequency_loss(jnp.asarray(recon_j_for_freq), jnp.asarray(image))
+    )
+
+    tol = dict(rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(metrics["recon"], 1.0 * l_recon, **tol)
+    np.testing.assert_allclose(metrics["freq"], 0.5 * l_freq, **tol)
+    np.testing.assert_allclose(metrics["gen"], 0.25 * l_gen, **tol)
+    np.testing.assert_allclose(metrics["dis"], 0.75 * l_dis, **tol)
+    np.testing.assert_allclose(metrics["dis_total"], 0.75 * l_dis, **tol)
+    assert metrics["cutmix"] == 0.0 and metrics["consistency"] == 0.0
+    gen_total = 1.0 * l_recon + 0.5 * l_freq + 0.25 * l_gen
+    np.testing.assert_allclose(metrics["gen_total"], gen_total, **tol)
+    np.testing.assert_allclose(metrics["total"], gen_total + 0.75 * l_dis, **tol)
+
+
 # ---------------------------------------------------------------------------
 # VQGAN autoencoder parity (network-level; the adversarial composition is the
 # same code path already pinned above via make_second_stage_step's structure)
@@ -416,6 +524,151 @@ def test_vqgan_forward_parity(rng):
     )
     np.testing.assert_allclose(
         np.asarray(vq1.embed_avg), tv.vq.embed_avg.numpy().T, rtol=1e-4, atol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_vqgan_step_loss_values(ref_unet_dis, rng):
+    """Run our real `make_vqgan_step` once (transplanted VQGAN +
+    UNetDiscriminator, synced VQ buffers) and pin every metric against the
+    reference math (`vqgan_unet_dis.py:36-121`) executed in torch — including
+    the `w.commit`-weighted commit term in gen_total and the VQ EMA buffers
+    threaded through the TrainState."""
+    import optax
+
+    ref_vqgan = ph.import_ref_module("vqgan")
+    from medical_image_editing_tpu.models import UNetDiscriminator
+    from medical_image_editing_tpu.models.vqgan import VQGAN
+    from medical_image_editing_tpu.ops.cutmix import cutmix_coordinates, cutmix_mask
+    from medical_image_editing_tpu.ops.vq import VQState
+    from medical_image_editing_tpu.train.second_stage import SecondStageLossConfig
+    from medical_image_editing_tpu.train.state import TrainState
+    from medical_image_editing_tpu.train.vqgan_stage import make_vqgan_step
+
+    torch.manual_seed(0)
+    B, S = 2, 128
+    kw = dict(
+        in_channels=1, mid_channels=32, out_channels=1, emb_dim=32,
+        dict_size=8, num_res_blocks=1, enc_attn_resolutions=[],
+        dec_attn_resolutions=[16], resolution=S, p_dropout=0.0,
+    )
+    tvq = ref_vqgan.VQGAN(
+        enc_ch_multiplier=[1, 1, 2, 2], dec_ch_multiplier=[1, 1, 2, 2], **kw
+    ).train()
+    tdis = _build_torch_unet_dis(ref_unet_dis, d_ch=8, resolution=S,
+                                 in_channels=1).train()
+
+    jkw = {k: (tuple(v) if isinstance(v, list) else v) for k, v in kw.items()
+           if k != "p_dropout"}
+    jvq_model = VQGAN(
+        enc_ch_multiplier=(1, 1, 2, 2), dec_ch_multiplier=(1, 1, 2, 2),
+        vq_momentum=0.99, **jkw,
+    )
+    jdis = UNetDiscriminator(D_ch=8, resolution=S)
+
+    vq0 = VQState(
+        embed=jax.random.normal(jax.random.key(5), (8, 32)),
+        cluster_size=jnp.zeros((8,)),
+        embed_avg=jax.random.normal(jax.random.key(5), (8, 32)),
+    )
+    with torch.no_grad():
+        ph.set_torch_vq_buffers(tvq.vq, vq0)
+    vqgan_vars = {
+        "params": {
+            "encoder": ph.vqgan_encoder_params(tvq.encoder),
+            "decoder": ph.vqgan_decoder_params(tvq.decoder),
+        }
+    }
+    dis_vars = ph.unet_discriminator_params(tdis)
+
+    image = rng.uniform(-1, 1, (B, S, S, 1)).astype(np.float32)
+
+    loss_cfg = SecondStageLossConfig(
+        w_recon=1.0, w_freq=0.5, w_gen=0.25, w_unet_perceptual=0.125,
+        w_dis=1.0, w_cutmix=0.5, w_consistency=0.25,
+        use_unet_perceptual_loss=True, n_inner_loops=1,
+    )
+    tx = optax.sgd(0.0)  # values only; no parameter motion needed
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
+        rng=jax.random.key(42),
+        enc_vars={"params": {}}, dec_vars=vqgan_vars, dis_vars=dis_vars,
+        vq=vq0, enc_opt=(), dec_opt=tx.init(vqgan_vars["params"]),
+        dis_opt=tx.init(dis_vars["params"]),
+    )
+    step = make_vqgan_step(jvq_model, jdis, tx, tx, loss_cfg=loss_cfg,
+                           w_commit=0.75)
+    new_state, metrics = jax.jit(step)(state, jnp.asarray(image), 0.0)
+    metrics = {k: float(v) for k, v in metrics.items()}
+
+    # --- the CutMix box our step drew (same key derivation) -----------------
+    _, _, k_dis = jax.random.split(jax.random.key(42), 3)
+    (key0,) = jax.random.split(k_dis, 1)
+    k_box, k_inv = jax.random.split(key0)
+    coords, _ = cutmix_coordinates(k_box, S, S)
+    mask2d = 1.0 - cutmix_mask(coords, S, S)
+    if bool(jax.random.uniform(k_inv) > 0.5):
+        mask2d = 1.0 - mask2d
+    mask_t = torch.from_numpy(np.asarray(mask2d))[None, :, :, None].permute(0, 3, 1, 2)
+
+    # --- reference math in torch (spec `vqgan_unet_dis.py:36-121`) ----------
+    import torch.nn.functional as F
+
+    img_t = torch.from_numpy(image.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        recon_t, commit_t, _, _ = tvq(img_t)
+        l_recon = F.mse_loss(recon_t, img_t).item()
+        l_commit = commit_t.item()
+
+        f_map, f_bottle, f_feats = tdis(recon_t)
+        l_gen = -(f_map.mean() + f_bottle.mean()).item()
+        _, _, r_feats = tdis(img_t)
+        l_upercep = sum(
+            F.mse_loss(fo, ro.detach()).item() for fo, ro in zip(f_feats, r_feats)
+        )
+
+        r_map, r_bottle, _ = tdis(img_t)
+        f_map2, f_bottle2, _ = tdis(recon_t)
+        l_dis = (
+            0.5 * (F.relu(1.0 - r_map).mean() + F.relu(1.0 + f_map2).mean())
+            + 0.5 * (F.relu(1.0 - r_bottle).mean() + F.relu(1.0 + f_bottle2).mean())
+        ).item()
+        cutmix_images = img_t * mask_t + (1.0 - mask_t) * recon_t
+        c_map, c_bottle, _ = tdis(cutmix_images)
+        l_cutmix = (
+            F.relu(1.0 + c_bottle).mean()
+            + F.relu(1.0 - (mask_t * 2.0 - 1.0) * c_map).mean()
+        ).item()
+        rf_map = r_map * mask_t + (1.0 - mask_t) * f_map2
+        l_consistency = F.mse_loss(c_map, rf_map).item()
+
+    from medical_image_editing_tpu.ops.losses import focal_frequency_loss
+
+    l_freq = float(focal_frequency_loss(
+        jnp.asarray(recon_t.numpy().transpose(0, 2, 3, 1)), jnp.asarray(image)
+    ))
+
+    tol = dict(rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(metrics["recon"], 1.0 * l_recon, **tol)
+    np.testing.assert_allclose(metrics["freq"], 0.5 * l_freq, **tol)
+    np.testing.assert_allclose(metrics["commit"], 0.75 * l_commit, **tol)
+    np.testing.assert_allclose(metrics["gen"], 0.25 * l_gen, **tol)
+    np.testing.assert_allclose(metrics["unet_perceptual"], 0.125 * l_upercep, **tol)
+    np.testing.assert_allclose(metrics["dis"], 1.0 * l_dis, **tol)
+    np.testing.assert_allclose(metrics["cutmix"], 0.5 * l_cutmix, **tol)
+    np.testing.assert_allclose(metrics["consistency"], 0.25 * l_consistency, **tol)
+    gen_total = (
+        1.0 * l_recon + 0.5 * l_freq + 0.75 * l_commit + 0.25 * l_gen
+        + 0.125 * l_upercep
+    )
+    np.testing.assert_allclose(metrics["gen_total"], gen_total, **tol)
+    dis_total = 1.0 * l_dis + 0.5 * l_cutmix + 0.25 * l_consistency
+    np.testing.assert_allclose(metrics["dis_total"], dis_total, **tol)
+    np.testing.assert_allclose(metrics["total"], gen_total + dis_total, **tol)
+    # VQ EMA buffers advanced identically through the TrainState
+    np.testing.assert_allclose(
+        np.asarray(new_state.vq.embed), tvq.vq.embed.numpy(),
+        rtol=1e-4, atol=1e-6,
     )
 
 
