@@ -21,6 +21,7 @@ batch sharded and state replicated. The host loop only feeds prefetched
 batches and logs.
 """
 
+import math
 import os
 from typing import Optional
 
@@ -53,6 +54,11 @@ from .state import create_train_state, make_optimizer_from_config
 from .vqgan_stage import make_vqgan_step
 
 SNAPSHOT_INTERVAL = 100  # `src/trainers/base.py:31`
+
+
+class TrainingDivergedError(RuntimeError):
+    """Raised by `Trainer.fit` when the step's 'total' loss goes non-finite
+    and `run.halt_on_non_finite` (default on) is set."""
 
 
 class Trainer:
@@ -456,6 +462,11 @@ class Trainer:
 
         db_start, db_stop, db_steps = self._db
         save_every_n_steps = int(g(cfg.save, "save_every_n_steps", 0) or 0)
+        # Divergence guard (beyond the reference, which trains on through
+        # NaNs): halt with a clear error instead of burning chip-hours on a
+        # poisoned state. Free: checked only where metrics are already pulled
+        # to host for logging. `run.halt_on_non_finite: false` disables.
+        halt_on_non_finite = bool(g(run, "halt_on_non_finite", True))
         # on-demand profiler capture: run.profile_dir writes a TensorBoard-
         # loadable XLA trace of steps [profile_start_step, +profile_num_steps)
         # (post-warmup by default so compiles don't pollute the trace)
@@ -498,6 +509,15 @@ class Trainer:
                     profile_dir = None  # one capture per fit
                 if self.logger is not None:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    if halt_on_non_finite and not math.isfinite(m.get("total", 0.0)):
+                        raise TrainingDivergedError(
+                            f"non-finite 'total' at step {global_step} "
+                            f"(epoch {epoch}); metrics: {m}. The parameter "
+                            "state is poisoned — restart from the last "
+                            "checkpoint with a lower LR / different seed. "
+                            "Set run.halt_on_non_finite: false to train on "
+                            "through NaNs (the reference's behavior)."
+                        )
                     m["epoch"] = epoch
                     m["iteration"] = global_step
                     if self.perceptual_fallback:

@@ -611,3 +611,45 @@ def test_no_double_save_on_max_steps_boundary(crc_env, monkeypatch):
     rc = main(["-c", str(cfg_path), "-m", "train", "--max-steps", "2"])
     assert rc == 0
     assert step_saves.count(2) == 1, step_saves
+
+
+def test_fit_halts_on_non_finite_total(crc_env):
+    """Divergence guard: a non-finite 'total' halts fit with a clear error
+    (run.halt_on_non_finite, default on); setting it false — which the
+    config loader's False→None quirk turns into None — trains on through,
+    matching the reference's unguarded behavior."""
+    import jax
+    import jax.numpy as jnp
+
+    from medical_image_editing_tpu.train.trainer import Trainer, TrainingDivergedError
+    from medical_image_editing_tpu.utils.config import to_config
+    from medical_image_editing_tpu.utils.logging import Logger
+
+    tmp_path, cfg_path, cfg = crc_env
+
+    def poison(trainer):
+        orig = trainer.train_step
+
+        def poisoned(state, image, drop_prob):
+            state, metrics = orig(state, image, drop_prob)
+            metrics = dict(metrics)
+            metrics["total"] = jnp.float32(float("nan"))
+            return state, metrics
+
+        trainer.train_step = poisoned
+
+    logger = Logger(str(tmp_path / "nan_run"), config=to_config(cfg),
+                    monitoring_metrics=["total"], name="n")
+    trainer = Trainer(to_config(cfg), logger=logger)
+    poison(trainer)
+    with pytest.raises(TrainingDivergedError, match="non-finite 'total' at step 1"):
+        trainer.fit(max_steps=2)
+
+    cfg2 = json.loads(json.dumps(cfg))
+    cfg2["run"]["halt_on_non_finite"] = False  # → None via the loader quirk
+    logger2 = Logger(str(tmp_path / "nan_run2"), config=to_config(cfg2),
+                     monitoring_metrics=["total"], name="n")
+    trainer2 = Trainer(to_config(cfg2), logger=logger2)
+    poison(trainer2)
+    state = trainer2.fit(max_steps=1)  # completes despite the NaN total
+    assert int(jax.device_get(state.step)) == 1
