@@ -15,9 +15,11 @@ API:
                            8-bit grayscale PNG of the first slice).
                            Header X-Edit-Ms reports device latency.
 
-Shapes are static per XLA compilation: the first request of a new (B,H,W)
-pays a compile; subsequent ones are a single dispatch. Deploy with the
-shapes you serve (e.g. warm 1×512² + 32×512²).
+Shapes are static per XLA compilation: the first request of a new shape pays
+a compile; subsequent ones are a single dispatch. Batch sizes are bucketed to
+the next power of two by default (`--bucket pow2`) so the server compiles a
+BOUNDED set of shapes no matter what batch sizes clients send; deploy with
+the spatial shapes you serve warmed (e.g. `--warm 1x512x512,32x512x512`).
 """
 
 import argparse
@@ -36,8 +38,27 @@ def build_service(config):
     return decoder, state
 
 
+def bucket_batch(b: int, bucketing: str, multiple: int = 1) -> int:
+    """Dispatch batch size for a b-slice request.
+
+    XLA compiles once per static shape, and a compile through this
+    environment's tunnel can stall a request for 20-40 s — a server must see
+    a BOUNDED set of batch sizes, not one per distinct client batch.
+    'pow2' pads b up to the next power of two (≤ log2(Bmax) compiles per
+    (H,W) instead of one per B; worst-case 2× padded compute on a cold size);
+    'exact' dispatches b as-is. Either way the result is rounded up to
+    `multiple` (shard_map's batch-divisibility requirement under
+    partition='data'). Padded slices are replicas of the last id map and are
+    sliced off before the response.
+    """
+    if bucketing == "pow2":
+        b = 1 << (b - 1).bit_length()
+    return b + (-b % multiple)
+
+
 class EditService:
-    def __init__(self, config, partition: str = "none"):
+    def __init__(self, config, partition: str = "none",
+                 batch_bucketing: str = "pow2"):
         import jax
 
         from .edit_batch import make_batched_edit_fn
@@ -68,6 +89,8 @@ class EditService:
             self.decoder, output_dtype="uint8", **kw
         )
         self.device = str(jax.devices()[0])
+        assert batch_bucketing in {"pow2", "exact"}, batch_bucketing
+        self.batch_bucketing = batch_bucketing
         # 'data' sharding requires batch % n_devices == 0 (shard_map);
         # requests of any size are padded up to the multiple and sliced back
         self._batch_multiple = len(jax.devices()) if partition == "data" else 1
@@ -81,7 +104,7 @@ class EditService:
         if squeeze:
             ids = ids[None]
         b = ids.shape[0]
-        pad = -b % self._batch_multiple
+        pad = bucket_batch(b, self.batch_bucketing, self._batch_multiple) - b
         if pad:
             ids = np.concatenate([ids, np.repeat(ids[-1:], pad, axis=0)])
         fn = self.edit_fn_u8 if uint8 else self.edit_fn
@@ -122,6 +145,7 @@ def make_handler(service: EditService):
                 "dict_size": int(service.config.dict_size),
                 "device": service.device,
                 "partition": service.partition,
+                "batch_bucketing": service.batch_bucketing,
             }
             self._send(200, json.dumps(info).encode(), "application/json")
 
@@ -161,11 +185,12 @@ def make_handler(service: EditService):
 
 
 def serve(config, host="127.0.0.1", port=8760, warm_shapes=((1, 512, 512),),
-          partition: str = "none"):
+          partition: str = "none", batch_bucketing: str = "pow2"):
     """Build the service, optionally pre-compile shapes, serve forever."""
     import numpy as np
 
-    service = EditService(config, partition=partition)
+    service = EditService(config, partition=partition,
+                          batch_bucketing=batch_bucketing)
     for shape in warm_shapes or ():
         service.edit(np.zeros(shape, np.int32))
         service.edit(np.zeros(shape, np.int32), uint8=True)
@@ -195,6 +220,11 @@ def main(argv=None):
     parser.add_argument("--dtype", choices=["f32", "bf16"], default=None,
                         help="decode compute dtype (bf16 cuts TPU edit "
                              "latency; params/checkpoints stay f32)")
+    parser.add_argument("--bucket", choices=["pow2", "exact"], default="pow2",
+                        help="batch-size bucketing: 'pow2' pads requests up "
+                        "to the next power of two so the server compiles a "
+                        "bounded set of shapes; 'exact' compiles per distinct "
+                        "batch size")
     args = parser.parse_args(argv)
 
     from . import cli_setup
@@ -209,7 +239,7 @@ def main(argv=None):
             tuple(int(d) for d in s.split("x")) for s in args.warm.split(",")
         )
     serve(config, host=args.host, port=args.port, warm_shapes=warm,
-          partition=args.partition)
+          partition=args.partition, batch_bucketing=args.bucket)
     return 0
 
 

@@ -653,3 +653,48 @@ def test_fit_halts_on_non_finite_total(crc_env):
     poison(trainer2)
     state = trainer2.fit(max_steps=1)  # completes despite the NaN total
     assert int(jax.device_get(state.step)) == 1
+
+
+def test_serve_batch_bucketing(tmp_path, rng):
+    """pow2 bucketing bounds the compiled-shape set: a b-slice request
+    dispatches the next power of two (rounded to the shard multiple) and the
+    response is sliced back to b."""
+    from medical_image_editing_tpu.cli import run_recon as rr
+    from medical_image_editing_tpu.cli.serve_http import EditService, bucket_batch
+
+    # policy math
+    assert [bucket_batch(b, "pow2") for b in (1, 2, 3, 5, 8, 9)] == [1, 2, 4, 8, 8, 16]
+    assert bucket_batch(3, "exact") == 3
+    assert bucket_batch(3, "pow2", multiple=8) == 8   # compose with shard pad
+    assert bucket_batch(3, "exact", multiple=8) == 8
+
+    class TinyConfig(rr.LungConfig):
+        enc_filters = (4, 8, 16, 32, 64)
+        dec_filters = (4, 8, 16, 32, 64)
+
+        def __init__(self):
+            self.resume_checkpoint = None
+            self.edited_file_path = None
+            self.save_dir_path = str(tmp_path / "out")
+
+    service = EditService(TinyConfig())  # default pow2
+    dispatched = []
+    inner = service.edit_fn
+
+    def spy(dec_vars, vq, ids):
+        dispatched.append(int(ids.shape[0]))
+        return inner(dec_vars, vq, ids)
+
+    service.edit_fn = spy
+    for b in (3, 5):
+        ids = rng.integers(0, 6, (b, 32, 32)).astype(np.int32)
+        recon, ms = service.edit(ids)
+        assert recon.shape[0] == b
+        assert np.isfinite(recon).all()
+    assert dispatched == [4, 8]
+
+    exact = EditService(TinyConfig(), batch_bucketing="exact")
+    exact.edit_fn = spy
+    dispatched.clear()
+    exact.edit(rng.integers(0, 6, (3, 32, 32)).astype(np.int32))
+    assert dispatched == [3]
