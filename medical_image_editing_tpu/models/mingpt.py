@@ -95,13 +95,16 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, cache=None, pos=None):
+        # epsilon=1e-5: torch nn.LayerNorm default (flax defaults to 1e-6)
         attn_out, new_cache = CausalSelfAttention(self.config, name="attn")(
-            nn.LayerNorm()(x), train, cache, pos
+            nn.LayerNorm(epsilon=1e-5)(x), train, cache, pos
         )
         x = x + attn_out
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.Dense(4 * self.config.n_embed)(h)
-        h = nn.gelu(h)
+        # exact erf GELU: torch nn.GELU() default (`mingpt.py:102`); flax's
+        # default is the tanh approximation, which diverges at ~1e-3
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.config.n_embed)(h)
         h = nn.Dropout(self.config.res_pdrop, deterministic=not train)(h)
         return x + h, new_cache
@@ -132,7 +135,7 @@ class GPT(nn.Module):
             cache = caches[i] if caches is not None else None
             x, nc = Block(cfg, name=f"block_{i}")(x, train, cache, pos)
             new_caches.append(nc)
-        x = nn.LayerNorm(name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_f")(x)
         logits = nn.Dense(cfg.vocab_size, use_bias=False, name="head")(x)
         if caches is not None:
             return logits, jnp.stack(new_caches)

@@ -126,3 +126,79 @@ def test_hist_modes(rng):
     assert abs(get_largest_mode(data) - 10) < 3
     assert abs(get_first_mode(data) - 10) < 3
     assert abs(get_last_mode(data) - 50) < 5
+
+
+def test_gpt_torch_transplant_forward_parity(rng):
+    """Weight-transplant logits parity vs the reference's own torch minGPT
+    (`mingpt.py:122-194`) — pins q/k/v head layout, pre-LN block order, exact
+    erf GELU (torch nn.GELU default; flax's default tanh approximation
+    diverges at ~1e-3), final LN, and the untied bias-free head. The torch
+    `forward_with_past` is unrunnable as shipped (`:219` appends `present` to
+    itself, so `torch.stack([])` raises) — our KV-cache path is instead
+    pinned against our full forward above."""
+    torch = pytest.importorskip("torch")
+    import parity_helpers as ph
+
+    ref = ph.import_ref_module("mingpt")
+    V, BLK, L, H, C = 11, 16, 2, 2, 16
+    tm = ref.GPT(vocab_size=V, block_size=BLK, n_layer=L, n_head=H,
+                 n_embed=C).eval()
+
+    cfg = GPTConfig(vocab_size=V, block_size=BLK, n_layer=L, n_head=H,
+                    n_embed=C, emb_pdrop=0.0, res_pdrop=0.0, att_pdrop=0.0)
+    jm = GPT(cfg)
+
+    def _lin(mod):
+        p = {"kernel": jnp.asarray(np.array(mod.weight.detach().numpy().T, copy=True))}
+        if mod.bias is not None:
+            p["bias"] = jnp.asarray(np.array(mod.bias.detach().numpy(), copy=True))
+        return p
+
+    def _ln(mod):
+        return {
+            "scale": jnp.asarray(np.array(mod.weight.detach().numpy(), copy=True)),
+            "bias": jnp.asarray(np.array(mod.bias.detach().numpy(), copy=True)),
+        }
+
+    params = {
+        "tok_emb": {"embedding": jnp.asarray(
+            np.array(tm.tok_embed.weight.detach().numpy(), copy=True))},
+        "pos_emb": jnp.asarray(np.array(tm.pos_embed.detach().numpy(), copy=True)),
+        "ln_f": _ln(tm.ln_f),
+        "head": {"kernel": jnp.asarray(
+            np.array(tm.head.weight.detach().numpy().T, copy=True))},
+    }
+    for i, blk in enumerate(tm.blocks):
+        params[f"block_{i}"] = {
+            "LayerNorm_0": _ln(blk.ln1),
+            "LayerNorm_1": _ln(blk.ln2),
+            "attn": {
+                "q": _lin(blk.att.q), "k": _lin(blk.att.k), "v": _lin(blk.att.v),
+                "proj": _lin(blk.att.proj),
+            },
+            "Dense_0": _lin(blk.mlp[0]),
+            "Dense_1": _lin(blk.mlp[2]),
+        }
+
+    idx = rng.integers(0, V, (2, 9)).astype(np.int64)
+    with torch.no_grad():
+        logits_t = tm(torch.from_numpy(idx)).numpy()
+    # this host's XLA-CPU runs default-precision matmuls in reduced precision
+    with jax.default_matmul_precision("highest"):
+        logits_j = jm.apply(
+            {"params": params}, jnp.asarray(idx.astype(np.int32)), False
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_j), logits_t, rtol=1e-4, atol=1e-5
+        )
+
+        # the KV-cache decode agrees with the (now torch-pinned) full forward
+        caches = jm.init_cache(batch=2)
+        for t in range(9):
+            step, caches = forward_with_past(
+                jm, {"params": params},
+                jnp.asarray(idx[:, t:t+1].astype(np.int32)), caches, t,
+            )
+            np.testing.assert_allclose(
+                np.asarray(step)[:, 0], logits_t[:, t], rtol=1e-4, atol=1e-5
+            )
