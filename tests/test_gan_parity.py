@@ -928,3 +928,162 @@ def test_multi_window_joint_step_loss_values(ref_unet_dis, rng):
     np.testing.assert_allclose(metrics["dis"], 1.0 * l_dis, **tol)
     np.testing.assert_allclose(metrics["cutmix"], 0.5 * l_cutmix, **tol)
     np.testing.assert_allclose(metrics["consistency"], 0.25 * l_cons, **tol)
+
+
+@pytest.mark.slow
+def test_multi_window_second_step_loss_values(ref_unet_dis, rng):
+    """`_train_second_step` of the MultiWindowTrainer (spec
+    `multi_window_trainer.py:208-390`): frozen encoder, per-window recon/freq
+    AND per-window adversarial gen/dis/CutMix/consistency — each window draws
+    its OWN CutMix box — all meaned over the three windows. Every metric from
+    our real `make_multi_window_second_stage_step` pinned against the
+    reference math executed in torch with transplanted networks."""
+    import optax
+
+    import torch.nn.functional as F
+
+    from medical_image_editing_tpu.models import UNetDecoder, UNetDiscriminator
+    from medical_image_editing_tpu.ops.cutmix import cutmix_coordinates, cutmix_mask
+    from medical_image_editing_tpu.ops.losses import focal_frequency_loss
+    from medical_image_editing_tpu.train.multi_window import (
+        make_multi_window_second_stage_step,
+    )
+    from medical_image_editing_tpu.train.second_stage import SecondStageLossConfig
+    from medical_image_editing_tpu.train.state import TrainState
+
+    ref_dec_mod = ph.import_ref_module("unet_decoder")
+
+    B, S, C_EMB = 1, 128, 4
+    FILTERS = [4, 8, 16, 32, 64]
+    DSW = (1500.0, -550.0, 2.0)
+    RW, FW, PW = (1.0, 0.5, 0.25), (0.5, 0.25, 0.125), (0.0, 0.0, 0.0)
+
+    torch.manual_seed(0)
+    tdec = ref_dec_mod.UNetDecoder(
+        in_channels=C_EMB, out_channels=1, filters=FILTERS,
+        use_dropblock=False, dropped_skip_layers=[],
+        use_styled_up_block=True, use_pixel_shuffle=False,
+    ).train()
+    tdis = _build_torch_unet_dis(ref_unet_dis, d_ch=8, resolution=S,
+                                 in_channels=1).train()
+
+    jdec = UNetDecoder(
+        out_channels=1, filters=tuple(FILTERS), dropped_skip_layers=(),
+        use_pixel_shuffle=False,
+    )
+    jdis = UNetDiscriminator(D_ch=8, resolution=S)
+
+    image = rng.uniform(-0.6, 0.6, (B, S, S, 1)).astype(np.float32)
+    q = rng.normal(size=(B, S, S, C_EMB)).astype(np.float32)
+
+    def encoder(enc_vars, vq, img, train):
+        return jnp.asarray(q), jnp.float32(0.0), None, vq, {}
+
+    dec_init = jdec.init(
+        {"params": jax.random.key(0), "dropblock": jax.random.key(1)},
+        jnp.asarray(q), train=False,
+    )
+    dec_vars = {
+        "params": ph.unet_decoder_params(tdec),
+        "batch_stats": dec_init["batch_stats"],
+    }
+    dis_vars = ph.unet_discriminator_params(tdis)
+
+    loss_cfg = SecondStageLossConfig(
+        w_recon=1.0, w_freq=0.5, w_gen=0.25, w_unet_perceptual=0.125,
+        w_dis=1.0, w_cutmix=0.5, w_consistency=0.25,
+        use_unet_perceptual_loss=True, n_inner_loops=1,
+    )
+    tx = optax.sgd(0.0)  # values only; no parameter motion needed
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
+        rng=jax.random.key(42),
+        enc_vars={"params": {}}, dec_vars=dec_vars, dis_vars=dis_vars,
+        vq=None, enc_opt=(), dec_opt=tx.init(dec_vars["params"]),
+        dis_opt=tx.init(dis_vars["params"]),
+    )
+    step = make_multi_window_second_stage_step(
+        encoder, jdec, jdis, tx, tx, loss_cfg=loss_cfg, dataset_window=DSW,
+        recon_weights=RW, freq_weights=FW, percep_weights=PW,
+    )
+    _, metrics = jax.jit(step)(state, jnp.asarray(image))
+    metrics = {k: float(v) for k, v in metrics.items()}
+
+    # --- per-window CutMix boxes (same key derivation as the step) ----------
+    _, _, k_dis = jax.random.split(jax.random.key(42), 3)
+    masks = []
+    for kk in jax.random.split(k_dis, 3):
+        k_box, k_inv = jax.random.split(kk)
+        coords, _ = cutmix_coordinates(k_box, S, S)
+        m2 = 1.0 - cutmix_mask(coords, S, S)
+        if bool(jax.random.uniform(k_inv) > 0.5):
+            m2 = 1.0 - m2
+        masks.append(torch.from_numpy(np.array(m2))[None, None, :, :])
+
+    # --- reference math in torch (`multi_window_trainer.py:208-390`) --------
+    img_t = torch.from_numpy(image.transpose(0, 3, 1, 2))
+
+    def to_window_t(x, w, c, s):
+        dvmax, dvmin = DSW[1] + DSW[0] // 2, DSW[1] - DSW[0] // 2
+        hu = (x / DSW[2] + 0.5) * (dvmax - dvmin) + dvmin
+        vmax, vmin = c + w // 2, c - w // 2
+        return ((hu - vmin) / (vmax - vmin) - 0.5) * s
+
+    def wfns_t(x):
+        return [x, to_window_t(x, 1500, -550, 2.0), to_window_t(x, 400, 20, 2.0)]
+
+    with torch.no_grad():
+        recon_t = tdec(torch.from_numpy(q.transpose(0, 3, 1, 2)))
+        recons, imgs = wfns_t(recon_t), wfns_t(img_t)
+
+        l_recon = l_freq = l_gen = l_upercep = 0.0
+        for i in range(3):
+            r, t = recons[i], imgs[i]
+            l_recon += RW[i] * F.mse_loss(r, t).item()
+            l_freq += FW[i] * float(focal_frequency_loss(
+                jnp.asarray(r.numpy().transpose(0, 2, 3, 1)),
+                jnp.asarray(t.numpy().transpose(0, 2, 3, 1)),
+            ))
+            f_map, f_bottle, f_feats = tdis(r)
+            l_gen += -(f_map.mean() + f_bottle.mean()).item()
+            _, _, r_feats = tdis(t)
+            l_upercep += sum(
+                F.mse_loss(fo, ro.detach()).item()
+                for fo, ro in zip(f_feats, r_feats)
+            )
+        l_recon, l_freq, l_gen, l_upercep = (
+            x / 3.0 for x in (l_recon, l_freq, l_gen, l_upercep)
+        )
+
+        l_dis = l_cutmix = l_cons = 0.0
+        for i in range(3):
+            r, t, m = recons[i], imgs[i], masks[i]
+            r_map, r_bottle, _ = tdis(t)
+            f_map, f_bottle, _ = tdis(r)
+            l_dis += (
+                0.5 * (F.relu(1.0 - r_map).mean() + F.relu(1.0 + f_map).mean())
+                + 0.5 * (F.relu(1.0 - r_bottle).mean() + F.relu(1.0 + f_bottle).mean())
+            ).item()
+            cmix = t * m + (1.0 - m) * r
+            c_map, c_bottle, _ = tdis(cmix)
+            l_cutmix += (
+                F.relu(1.0 + c_bottle).mean()
+                + F.relu(1.0 - (m * 2.0 - 1.0) * c_map).mean()
+            ).item()
+            rf_map = r_map * m + (1.0 - m) * f_map
+            l_cons += F.mse_loss(c_map, rf_map).item()
+        l_dis, l_cutmix, l_cons = (x / 3.0 for x in (l_dis, l_cutmix, l_cons))
+
+    tol = dict(rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(metrics["recon"], 1.0 * l_recon, **tol)
+    np.testing.assert_allclose(metrics["freq"], 0.5 * l_freq, **tol)
+    np.testing.assert_allclose(metrics["gen"], 0.25 * l_gen, **tol)
+    np.testing.assert_allclose(metrics["unet_perceptual"], 0.125 * l_upercep, **tol)
+    np.testing.assert_allclose(metrics["dis"], 1.0 * l_dis, **tol)
+    np.testing.assert_allclose(metrics["cutmix"], 0.5 * l_cutmix, **tol)
+    np.testing.assert_allclose(metrics["consistency"], 0.25 * l_cons, **tol)
+    gen_total = 1.0 * l_recon + 0.5 * l_freq + 0.25 * l_gen + 0.125 * l_upercep
+    dis_total = 1.0 * l_dis + 0.5 * l_cutmix + 0.25 * l_cons
+    np.testing.assert_allclose(metrics["gen_total"], gen_total, **tol)
+    np.testing.assert_allclose(metrics["dis_total"], dis_total, **tol)
+    np.testing.assert_allclose(metrics["total"], gen_total + dis_total, **tol)
