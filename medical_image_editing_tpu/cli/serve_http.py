@@ -159,6 +159,9 @@ def make_handler(service: EditService):
                 ids = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
                 if ids.ndim not in (2, 3):
                     raise ValueError(f"id map must be 2-D or 3-D, got {ids.shape}")
+                if ids.size == 0:
+                    # a (0,H,W) batch would otherwise reach the dispatch path
+                    raise ValueError(f"empty id map (shape {ids.shape})")
             except Exception as e:  # malformed request body
                 self._send(400, str(e).encode(), "text/plain")
                 return

@@ -496,6 +496,16 @@ def test_http_edit_service(tmp_path, rng):
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # an empty batch must be a clean client error, not a device dispatch
+        ebuf = io.BytesIO(); np.save(ebuf, np.zeros((0, 32, 32), np.int32))
+        empty = urllib.request.Request(
+            f"http://127.0.0.1:{port}/edit", data=ebuf.getvalue(), method="POST")
+        try:
+            urllib.request.urlopen(empty, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         httpd.shutdown()
 
