@@ -14,7 +14,17 @@ from .unet_encoder import UNetEncoder, EncoderWithVQ
 from .unet_decoder import UNetDecoder
 from .actnorm import ActNorm
 from .discriminator import NLayerDiscriminator
-from .biggan_layers import Attention, DBlock, GBlock2, SNConv, SNDense
+from .biggan_layers import (
+    Attention,
+    CCBN,
+    DBlock,
+    GBlock2,
+    GBlockCond,
+    SNConv,
+    SNDense,
+    SNEmbed,
+)
+from .biggan_generator import BigGANGenerator, GDPair, g_arch
 from .unet_discriminator import UNetDiscriminator
 from .vqgan import VQGAN
 from .legacy import UNet, VQVNet, VQWNet, StyledVQWNet

@@ -9,9 +9,12 @@ concatenations (`:544-589` wiring), three outputs (`:594-627`):
   * the list of decoder-side features for the "unet_perceptual"
     feature-matching loss.
 
-Unconditional mode only (projection == 0), matching the trainers' usage
-(`src/trainers/base.py:241-247`, unconditional=True); class-conditional
-projection embeddings are out of scope.
+Unconditional mode (projection == 0) matches the trainers' usage
+(`src/trainers/base.py:241-247`, unconditional=True) and is the default.
+Class-conditional projection discrimination (`:499-501` embeddings, `:605-623`
+projections) is available via `n_classes > 0`: pass integer labels `y` and the
+bottleneck logit gains ⟨embed_middle(y), pooled⟩ while the pixel map gains the
+per-pixel channel projection ⟨embed(y), h⟩.
 
 Divergence (documented): the reference defines `output_features` only for
 resolution 512, so its forward crashes at 128/256 (`:424-428` vs `:594-595`);
@@ -26,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .biggan_layers import Attention, DBlock, GBlock2, SNDense
+from .biggan_layers import Attention, DBlock, GBlock2, SNDense, SNEmbed
 
 _ortho_init = nn.initializers.orthogonal()
 
@@ -75,9 +78,16 @@ class UNetDiscriminator(nn.Module):
     D_attn: str = "64"
     resolution: int = 512
     output_dim: int = 1
+    n_classes: int = 0  # 0 = unconditional (trainer usage); >0 = projection-D
 
     @nn.compact
-    def __call__(self, x, train: bool = True) -> Tuple[jax.Array, jax.Array, list]:
+    def __call__(
+        self, x, train: bool = True, *, y=None
+    ) -> Tuple[jax.Array, jax.Array, list]:
+        # y is keyword-only (the reference's `forward(x, y)` order would shadow
+        # the positional train flag every existing trainer call site passes)
+        if self.n_classes > 0 and y is None:
+            raise ValueError("conditional UNetDiscriminator (n_classes>0) needs labels y")
         arch = d_unet_arch(self.resolution, self.D_ch)
         attn_res = {int(s) for s in str(self.D_attn).split("_")}
 
@@ -119,6 +129,18 @@ class UNetDiscriminator(nn.Module):
                 # global sum pooling + SN linear bottleneck logit (`:600-612`)
                 pooled = jnp.sum(nn.relu(h), axis=(1, 2))
                 bottleneck_out = SNDense(self.output_dim)(pooled, train)
+                if self.n_classes > 0:
+                    # projection onto the class embedding (`:608-612`)
+                    emb_mid = SNEmbed(self.n_classes, 16 * self.D_ch)(y, train)
+                    bottleneck_out = bottleneck_out + jnp.sum(
+                        emb_mid * pooled, axis=1, keepdims=True
+                    )
 
         pixel_map = nn.Conv(1, (1, 1), kernel_init=_ortho_init)(h)
+        if self.n_classes > 0:
+            # per-pixel channel projection onto the class embedding (`:618-623`)
+            emb = SNEmbed(self.n_classes, h.shape[-1])(y, train)
+            pixel_map = pixel_map + jnp.sum(
+                emb[:, None, None, :] * h, axis=-1, keepdims=True
+            )
         return pixel_map, bottleneck_out, features_out

@@ -201,6 +201,84 @@ def attention_params(tattn):
     return p, bs
 
 
+def sn_embedding_params(temb):
+    """Reference SNEmbedding → our SNEmbed {params, batch_stats}. The u buffer
+    copies verbatim: both sides orient the power iteration over the
+    (num_embeddings, dim) weight with u (1, num_embeddings) — see the SNEmbed
+    docstring for why this is hand-rolled rather than flax SpectralNorm."""
+    p = {"embedding": jnp.asarray(_np(temb.weight))}
+    bs = {"u": jnp.asarray(_np(temb.u0)), "sigma": jnp.asarray(_np(temb.sv0)[0])}
+    return p, bs
+
+
+def ccbn_params(tc):
+    """Reference ccbn (`biggan/layers.py:280-335`) → our CCBN, detecting the
+    head flavor from the torch module types (Sequential = self-modulation MLP,
+    SNLinear = conditional shared, Embedding = conditional unshared)."""
+    import torch
+
+    p, bs = {}, {}
+    if isinstance(tc.gain, torch.nn.Sequential):
+        p["Dense_0"] = {"kernel": _lin(tc.gain[0].weight), "bias": _b(tc.gain[0].bias)}
+        p["Dense_1"] = {"kernel": _lin(tc.gain[2].weight)}
+        p["Dense_2"] = {"kernel": _lin(tc.bias[0].weight), "bias": _b(tc.bias[0].bias)}
+        p["Dense_3"] = {"kernel": _lin(tc.bias[2].weight)}
+    elif isinstance(tc.gain, torch.nn.Embedding):
+        p["Embed_0"] = {"embedding": jnp.asarray(_np(tc.gain.weight))}
+        p["Embed_1"] = {"embedding": jnp.asarray(_np(tc.bias.weight))}
+    else:  # SNLinear heads
+        p["SNDense_0"], bs["SNDense_0"] = sn_dense_params(tc.gain)
+        p["SNDense_1"], bs["SNDense_1"] = sn_dense_params(tc.bias)
+    style = getattr(tc, "norm_style", "bn")
+    if style == "bn":
+        bs["BatchNorm_0"] = {"mean": _b(tc.stored_mean), "var": _b(tc.stored_var)}
+    elif style == "in":
+        bs["in_mean"] = _b(tc.stored_mean)
+        bs["in_var"] = _b(tc.stored_var)
+    return p, bs
+
+
+def gblock_cond_params(tgb):
+    """Reference GBlock (`biggan/layers.py:381-414`) → our GBlockCond."""
+    p, bs = {}, {}
+    p["CCBN_0"], bs["CCBN_0"] = ccbn_params(tgb.bn1)
+    p["SNConv_0"], bs["SNConv_0"] = sn_conv_params(tgb.conv1)
+    p["CCBN_1"], bs["CCBN_1"] = ccbn_params(tgb.bn2)
+    p["SNConv_1"], bs["SNConv_1"] = sn_conv_params(tgb.conv2)
+    if tgb.learnable_sc:
+        p["SNConv_2"], bs["SNConv_2"] = sn_conv_params(tgb.conv_sc)
+    return p, bs
+
+
+def biggan_generator_params(tg):
+    """Reference Generator (`unet_discriminator.py:109-330`) → our
+    BigGANGenerator variables: shared embedding, first SNLinear, the
+    GBlock/Attention stages in call order, and the bn→act→SNConv output layer."""
+    import torch
+
+    params, stats = {}, {}
+    if isinstance(tg.shared, torch.nn.Embedding):
+        params["shared_embed"] = {"embedding": jnp.asarray(_np(tg.shared.weight))}
+    params["linear_in"], stats["linear_in"] = sn_dense_params(tg.linear)
+    i = 0
+    for blocklist in tg.blocks:
+        for block in blocklist:
+            name = f"stage_modules_{i}"
+            cls = type(block).__name__
+            if cls == "GBlock":
+                params[name], stats[name] = gblock_cond_params(block)
+            elif cls == "Attention":
+                params[name], stats[name] = attention_params(block)
+            else:  # pragma: no cover
+                raise AssertionError(cls)
+            i += 1
+    tbn = tg.output_layer[0]
+    params["out_bn"] = {"scale": _b(tbn.gain), "bias": _b(tbn.bias)}
+    stats["out_bn"] = {"mean": _b(tbn.stored_mean), "var": _b(tbn.stored_var)}
+    params["out_conv"], stats["out_conv"] = sn_conv_params(tg.output_layer[2])
+    return {"params": params, "batch_stats": stats}
+
+
 def unet_discriminator_params(tdis):
     """Reference Unet_Discriminator → our UNetDiscriminator variables.
 
@@ -231,6 +309,11 @@ def unet_discriminator_params(tdis):
     assert isinstance(last, torch.nn.Conv2d)
     params["Conv_0"] = {"kernel": _k(last.weight), "bias": _b(last.bias)}
     params["SNDense_0"], stats["SNDense_0"] = sn_dense_params(tdis.linear_middle)
+    if hasattr(tdis, "embed_middle"):
+        # projection-conditional D (`unet_discriminator.py:499-501`); creation
+        # order here: SNEmbed_0 at the bottleneck, SNEmbed_1 at the pixel map
+        params["SNEmbed_0"], stats["SNEmbed_0"] = sn_embedding_params(tdis.embed_middle)
+        params["SNEmbed_1"], stats["SNEmbed_1"] = sn_embedding_params(tdis.embed)
     return {"params": params, "batch_stats": stats}
 
 

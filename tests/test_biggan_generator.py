@@ -1,0 +1,232 @@
+"""Golden-value parity for the BigGAN Generator stack vs the reference in
+torch — spec `src/networks/unet_discriminator.py:92-330` (Generator/G_arch),
+`:632-729` (G_D), `src/networks/biggan/layers.py:280-414` (ccbn/GBlock),
+`:125-138` (SNEmbedding). This stack is dead code in the reference (no
+trainer/CLI instantiates it); it's carried here for full model-surface parity,
+so every flavor is pinned by weight transplant, not just smoke.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import parity_helpers as ph
+from test_gan_parity import _build_torch_unet_dis, ref_unet_dis  # noqa: F401
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.isdir(ph.REF_SRC), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _f32_matmuls():
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision", None)
+
+
+def _torch_generator(ref_unet_dis, **kw):
+    defaults = dict(
+        G_ch=8, dim_z=16, bottom_width=4, resolution=128, G_attn="64",
+        n_classes=5, G_shared=True, shared_dim=0, hier=False,
+        unconditional=False,
+    )
+    defaults.update(kw)
+    return ref_unet_dis.Generator(**defaults)
+
+
+def _our_generator(**kw):
+    from medical_image_editing_tpu.models.biggan_generator import BigGANGenerator
+
+    defaults = dict(
+        G_ch=8, dim_z=16, resolution=128, G_attn="64", n_classes=5,
+        G_shared=True, shared_dim=0, hier=False, unconditional=False,
+    )
+    defaults.update(kw)
+    return BigGANGenerator(**defaults)
+
+
+def _assert_generator_parity(ref_unet_dis, rng, torch_kw, our_kw, dim_z):
+    from medical_image_editing_tpu.models.biggan_generator import BigGANGenerator
+
+    tg = _torch_generator(ref_unet_dis, **torch_kw).train()
+    variables = ph.biggan_generator_params(tg)  # before torch mutates u
+
+    z = rng.normal(size=(2, dim_z)).astype(np.float32)
+    y = np.array([1, 3], dtype=np.int64)
+    with torch.no_grad():
+        out_t = tg(torch.from_numpy(z), tg.shared(torch.from_numpy(y))).numpy()
+
+    jg = _our_generator(**our_kw)
+    out_j, _ = jg.apply(
+        variables, jnp.asarray(z), jnp.asarray(y), train=True,
+        mutable=["batch_stats"], method=BigGANGenerator.generate,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4
+    )
+    return variables
+
+
+@pytest.mark.slow
+def test_generator_parity_conditional_shared(ref_unet_dis, rng):
+    """Standard BigGAN config: shared class embedding, non-hier z, SNLinear
+    ccbn heads, attention at 64."""
+    _assert_generator_parity(ref_unet_dis, rng, {}, {}, dim_z=16)
+
+
+@pytest.mark.slow
+def test_generator_parity_conditional_hier(ref_unet_dis, rng):
+    """Hierarchical z: z split into (n_blocks+1) chunks, ys = cat(y, z_i)
+    (`unet_discriminator.py:303-311`). dim_z=24 → 6 slots × chunk 4."""
+    _assert_generator_parity(
+        ref_unet_dis, rng, {"dim_z": 24, "hier": True}, {"dim_z": 24, "hier": True},
+        dim_z=24,
+    )
+
+
+@pytest.mark.slow
+def test_generator_parity_conditional_unshared(ref_unet_dis, rng):
+    """Unshared conditioning: ccbn heads are plain Embeddings on int labels
+    (`unet_discriminator.py:198-202`)."""
+    from medical_image_editing_tpu.models.biggan_generator import BigGANGenerator
+
+    tg = _torch_generator(ref_unet_dis, G_shared=False).train()
+    variables = ph.biggan_generator_params(tg)
+
+    rng_l = np.random.default_rng(7)
+    z = rng_l.normal(size=(2, 16)).astype(np.float32)
+    y = np.array([0, 4], dtype=np.int64)
+    with torch.no_grad():
+        # G_shared=False → shared is identity; ccbn embeds the raw labels
+        out_t = tg(torch.from_numpy(z), torch.from_numpy(y)).numpy()
+
+    jg = _our_generator(G_shared=False)
+    out_j, _ = jg.apply(
+        variables, jnp.asarray(z), jnp.asarray(y), train=True,
+        mutable=["batch_stats"], method=BigGANGenerator.generate,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_generator_parity_unconditional(ref_unet_dis, rng):
+    """Self-modulated unconditional generator (hier z feeds every ccbn MLP,
+    `unet_discriminator.py:194-196,305-306`). Requires G_shared=False — the
+    reference's G_shared=True unconditional combo crashes on head sizing."""
+    _assert_generator_parity(
+        ref_unet_dis, rng,
+        {"dim_z": 24, "hier": True, "unconditional": True, "G_shared": False},
+        {"dim_z": 24, "hier": True, "unconditional": True, "G_shared": False},
+        dim_z=24,
+    )
+
+
+def test_generator_rejects_reference_crash_combos():
+    from medical_image_editing_tpu.models.biggan_generator import BigGANGenerator
+
+    z = jnp.zeros((1, 16))
+    with pytest.raises(ValueError, match="hier"):
+        BigGANGenerator(unconditional=True, hier=False, G_shared=False).init(
+            jax.random.PRNGKey(0), z, None, train=False
+        )
+    with pytest.raises(ValueError, match="G_shared"):
+        BigGANGenerator(unconditional=True, hier=True, G_shared=True).init(
+            jax.random.PRNGKey(0), z, None, train=False
+        )
+
+
+@pytest.mark.slow
+def test_unet_discriminator_projection_parity(ref_unet_dis, rng):
+    """Class-conditional projection D: bottleneck + pixel-map projections onto
+    the SN class embeddings (`unet_discriminator.py:605-623`)."""
+    from medical_image_editing_tpu.models import UNetDiscriminator
+
+    tdis = _build_torch_unet_dis(ref_unet_dis, n_classes=5).train()
+    variables = ph.unet_discriminator_params(tdis)
+
+    x = rng.normal(size=(2, 128, 128, 3)).astype(np.float32)
+    y = np.array([2, 0], dtype=np.int64)
+    with torch.no_grad():
+        map_t, bottle_t, _ = tdis(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(y)
+        )
+
+    jdis = UNetDiscriminator(D_ch=8, resolution=128, n_classes=5)
+    (map_j, bottle_j, _), _ = jdis.apply(
+        variables, jnp.asarray(x), True, y=jnp.asarray(y), mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(bottle_j), bottle_t.numpy(), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(map_j)[..., 0], map_t.numpy()[:, 0], rtol=1e-3, atol=2e-4
+    )
+
+
+def test_sn_embed_matches_torch_sn_semantics(ref_unet_dis, rng):
+    """SNEmbed's hand-rolled power iteration reproduces the reference SN base
+    class on the (num_embeddings, dim) weight (`biggan/layers.py:25-94`)."""
+    from medical_image_editing_tpu.models.biggan_layers import SNEmbed
+
+    layers = ph.import_ref_module("biggan.layers")
+    temb = layers.SNEmbedding(7, 12).train()
+    p, bs = ph.sn_embedding_params(temb)
+
+    y = np.array([0, 3, 6], dtype=np.int64)
+    with torch.no_grad():
+        out_t = temb(torch.from_numpy(y)).numpy()
+
+    jemb = SNEmbed(7, 12)
+    out_j, upd = jemb.apply(
+        {"params": p, "batch_stats": bs}, jnp.asarray(y), True,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=1e-5, atol=1e-6)
+    # u buffer advanced identically (torch updated in-place during forward)
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["u"]), temb.u0.numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_gd_pair_matches_separate_calls(rng):
+    """GDPair's one-dispatch cat(fake, real) forward must equal running G and
+    D separately (the reference's rationale at `unet_discriminator.py:630-631`
+    is purely about avoiding extra gathers — numerics are unchanged). Run in
+    eval mode: train-mode SN u-updates intentionally differ between one
+    concatenated D call and two separate ones."""
+    from medical_image_editing_tpu.models.biggan_generator import (
+        BigGANGenerator, GDPair,
+    )
+    from medical_image_editing_tpu.models import UNetDiscriminator
+
+    G = BigGANGenerator(G_ch=8, dim_z=16, resolution=128, n_classes=5)
+    D = UNetDiscriminator(D_ch=8, resolution=128, D_attn="0", n_classes=5)
+    gd = GDPair(G=G, D=D)
+
+    k = jax.random.PRNGKey(0)
+    z = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 128, 128, 3)).astype(np.float32))
+    gy = jnp.array([1, 3])
+    dy = jnp.array([0, 2])
+    variables = gd.init(k, z, gy, x=x, dy=dy, train=False)
+
+    out = gd.apply(variables, z, gy, x=x, dy=dy, train=False)
+    split = gd.apply(variables, z, gy, x=x, dy=dy, split_D=True, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out["g_z"]), np.asarray(split["g_z"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["d_fake"][0]), np.asarray(split["d_fake"][0]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["d_real"][1]), np.asarray(split["d_real"][1]),
+        rtol=1e-4, atol=1e-4,
+    )

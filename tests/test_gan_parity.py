@@ -119,7 +119,14 @@ def test_nlayer_discriminator_spectral_norm_parity(ref_discriminator, rng):
 # ---------------------------------------------------------------------------
 
 
-def _build_torch_unet_dis(ref_unet_dis, d_ch=8, resolution=128, in_channels=3):
+def _build_torch_unet_dis(
+    ref_unet_dis, d_ch=8, resolution=128, in_channels=3, n_classes=0
+):
+    cond_kw = (
+        {"unconditional": True}
+        if n_classes == 0
+        else {"unconditional": False, "n_classes": n_classes}
+    )
     if in_channels != 3 and resolution in (128, 256):
         # the reference hardcodes the first in_channels to 3 at 128/256
         # (`unet_discriminator.py:358,367`) — honor the requested channel
@@ -136,14 +143,14 @@ def _build_torch_unet_dis(ref_unet_dis, d_ch=8, resolution=128, in_channels=3):
         try:
             tdis = ref_unet_dis.Unet_Discriminator(
                 in_channels=in_channels, D_ch=d_ch, resolution=resolution,
-                unconditional=True,
+                **cond_kw,
             )
         finally:
             ref_unet_dis.D_unet_arch = orig
     else:
         tdis = ref_unet_dis.Unet_Discriminator(
             in_channels=in_channels, D_ch=d_ch, resolution=resolution,
-            unconditional=True,
+            **cond_kw,
         )
     if resolution in (128, 256):
         # the reference defines output_features only for 512 and crashes
