@@ -194,6 +194,54 @@ def test_sn_embed_matches_torch_sn_semantics(ref_unet_dis, rng):
     )
 
 
+def test_sn_embed_power_iteration_converges(rng):
+    """Iterating SNEmbed in train mode drives sigma to the true top singular
+    value of the weight, so the returned rows approach W/σ_max — the property
+    spectral norm exists to guarantee."""
+    from medical_image_editing_tpu.models.biggan_layers import SNEmbed
+
+    w = rng.normal(size=(9, 6)).astype(np.float32)
+    emb = SNEmbed(9, 6)
+    variables = emb.init(jax.random.PRNGKey(0), jnp.arange(9), True)
+    variables = {
+        "params": {"embedding": jnp.asarray(w)},
+        "batch_stats": variables["batch_stats"],
+    }
+    for _ in range(50):
+        out, upd = emb.apply(
+            variables, jnp.arange(9), True, mutable=["batch_stats"]
+        )
+        variables = {"params": variables["params"], "batch_stats": upd["batch_stats"]}
+    sigma_true = np.linalg.svd(w, compute_uv=False)[0]
+    np.testing.assert_allclose(
+        float(variables["batch_stats"]["sigma"]), sigma_true, rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(out), w / sigma_true, rtol=1e-3, atol=1e-5)
+
+
+def test_ccbn_gn_and_nonorm_styles(rng):
+    """The reference's 'gn' branch crashes on a typo (`biggan/layers.py:328`);
+    ours must work: group-normed, then modulated. 'nonorm' = pure modulation."""
+    from medical_image_editing_tpu.models.biggan_layers import CCBN
+
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+    for style in ("gn_grp_2", "nonorm"):
+        mod = CCBN(8, norm_style=style)
+        variables = mod.init(jax.random.PRNGKey(1), x, y, True)
+        out, _ = mod.apply(variables, x, y, True, mutable=["batch_stats"])
+        assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+    # nonorm with zero-init SN heads: gain(y)=0, bias(y)=0 → out == x·(1+0)+0
+    mod = CCBN(8, norm_style="nonorm")
+    variables = mod.init(jax.random.PRNGKey(1), x, y, True)
+    zeroed = jax.tree.map(jnp.zeros_like, variables["params"])
+    out, _ = mod.apply(
+        {"params": zeroed, "batch_stats": variables["batch_stats"]},
+        x, y, True, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6)
+
+
 def test_gd_pair_matches_separate_calls(rng):
     """GDPair's one-dispatch cat(fake, real) forward must equal running G and
     D separately (the reference's rationale at `unet_discriminator.py:630-631`
