@@ -19,6 +19,10 @@ with the spec citation instead):
   * unconditional + hier + G_shared: ccbn input_size is dim_z + shared_dim
     (`:196`) but forward passes y = z of width dim_z (`:305-306`) — shape
     mismatch in torch. Use G_shared=False for the unconditional generator.
+  * conditional + hier + unshared: forward concatenates integer labels with
+    float z chunks (`:311`) — torch.cat dtype crash (and the Embedding ccbn
+    heads couldn't consume label⊕z vectors anyway). Use G_shared=True with
+    hier.
   * `G_D.forward` unpacks `D_out, D_middle = self.D(...)` (`:687`) while
     `Unet_Discriminator.forward` returns three values (`:627`) — the wrapper
     crashes on its own discriminator; `GDPair` returns the full structure.
@@ -29,7 +33,7 @@ over float32 params, which is exactly the framework's `compute_dtype:
 bfloat16` path (`train/state.py`) — master weights stay f32, the MXU runs bf16.
 """
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +106,14 @@ class BigGANGenerator(nn.Module):
                     "dim_z+shared_dim (`unet_discriminator.py:196`) but feeds "
                     "them z of width dim_z (`:305-306`) and crashes"
                 )
+        elif self.hier and not self.G_shared:
+            raise ValueError(
+                "conditional hier BigGAN generator requires G_shared=True: "
+                "the reference's forward concatenates the integer labels with "
+                "float z chunks (`unet_discriminator.py:311`), which crashes "
+                "torch.cat on mixed dtypes — its Embedding ccbn heads expect "
+                "plain labels, not label⊕z vectors"
+            )
         self._arch = arch
         self._num_slots = n_blocks + 1 if self.hier else 1
         self._z_chunk = self.dim_z // self._num_slots if self.hier else 0
@@ -203,8 +215,10 @@ class GDPair(nn.Module):
     CutMix path); the wrapper's own mixup plumbing is unreachable dead code
     that would crash on the 3-output UNet D (see module docstring).
 
-    Returns a dict: 'g_z', 'd_fake'=(pixel_map, bottleneck), and with a real
-    batch 'd_real' likewise, plus the decoder 'features' lists.
+    Returns a dict with the same schema in both modes: 'g_z',
+    'd_fake'=(pixel_map, bottleneck), 'features_fake' (decoder feature list),
+    and with a real batch also 'd_real' and 'features_real' (the joint path
+    splits the concatenated batch's outputs back apart).
     """
 
     G: BigGANGenerator
@@ -240,11 +254,12 @@ class GDPair(nn.Module):
             d_class = jnp.concatenate([gy, dy], axis=0) if dy is not None else gy
         pix, mid, feats = self.D(d_input, train, y=d_class)
         if x is None:
-            return {"g_z": g_z, "d_fake": (pix, mid), "features": feats}
+            return {"g_z": g_z, "d_fake": (pix, mid), "features_fake": feats}
         nf = g_z.shape[0]
         return {
             "g_z": g_z,
             "d_fake": (pix[:nf], mid[:nf]),
             "d_real": (pix[nf:], mid[nf:]),
-            "features": feats,
+            "features_fake": [f[:nf] for f in feats],
+            "features_real": [f[nf:] for f in feats],
         }

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .blocks import nearest_upsample
+
 _ortho_init = nn.initializers.orthogonal()
 
 
@@ -288,8 +290,8 @@ class GBlockCond(nn.Module):
         )
         h = self.activation(ccbn(in_ch)(x, y, train))
         if self.upsample:
-            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            h = nearest_upsample(h)
+            x = nearest_upsample(x)
         h = SNConv(self.features, 3)(h, train)
         h = self.activation(ccbn(self.features)(h, y, train))
         h = SNConv(self.features, 3)(h, train)
@@ -313,8 +315,8 @@ class GBlock2(nn.Module):
 
         h = self.activation(x)
         if self.upsample:
-            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            h = nearest_upsample(h)
+            x = nearest_upsample(x)
         h = SNConv(self.features, 3)(h, train)
         h = SNConv(self.features, 3)(self.activation(h), train)
         if learnable_sc:

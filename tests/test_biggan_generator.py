@@ -139,6 +139,61 @@ def test_generator_rejects_reference_crash_combos():
         BigGANGenerator(unconditional=True, hier=True, G_shared=True).init(
             jax.random.PRNGKey(0), z, None, train=False
         )
+    with pytest.raises(ValueError, match="G_shared"):
+        # conditional hier + unshared: reference torch.cat dtype crash (`:311`)
+        BigGANGenerator(n_classes=5, hier=True, G_shared=False).init(
+            jax.random.PRNGKey(0), z, jnp.array([0]), train=False
+        )
+
+
+def test_ccbn_instance_norm_matches_torch(rng):
+    """The 'in' norm path (train: per-instance stats + running update with
+    torch's unbiased stored variance; eval: running stats) vs
+    F.instance_norm, the oracle the reference calls (`biggan/layers.py:325`)."""
+    import torch.nn.functional as F
+    from medical_image_editing_tpu.models.biggan_layers import CCBN
+
+    x = rng.normal(size=(2, 6, 6, 4)).astype(np.float32)
+    rm = rng.normal(size=(4,)).astype(np.float32)
+    rv = (np.abs(rng.normal(size=(4,))) + 0.5).astype(np.float32)
+
+    y = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+    mod = CCBN(4, norm_style="in")
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), y, True)
+    # zero SN heads → gain(y)=0, bias(y)=0 → out = IN(x)·(1+0)+0, isolating
+    # the norm (well-defined: the SN of a zero matrix stays zero here)
+    params = jax.tree.map(jnp.zeros_like, variables["params"])
+    bs = dict(variables["batch_stats"])
+    bs["in_mean"], bs["in_var"] = jnp.asarray(rm), jnp.asarray(rv)
+    out_j, upd = mod.apply(
+        {"params": params, "batch_stats": bs},
+        jnp.asarray(x), y, True, mutable=["batch_stats"],
+    )
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    rm_t, rv_t = torch.from_numpy(rm.copy()), torch.from_numpy(rv.copy())
+    out_t = F.instance_norm(xt, rm_t, rv_t, None, None, True, 0.1, 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+    )
+    # running buffers advance identically (torch updates them in place)
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["in_mean"]), rm_t.numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["in_var"]), rv_t.numpy(), rtol=1e-5, atol=1e-6
+    )
+    # eval mode normalizes with the running stats, no update
+    bs_eval = dict(variables["batch_stats"])
+    bs_eval["in_mean"], bs_eval["in_var"] = jnp.asarray(rm), jnp.asarray(rv)
+    out_j_eval = mod.apply(
+        {"params": params, "batch_stats": bs_eval}, jnp.asarray(x), y, False
+    )
+    rm_e, rv_e = torch.from_numpy(rm.copy()), torch.from_numpy(rv.copy())
+    out_t_eval = F.instance_norm(xt, rm_e, rv_e, None, None, False, 0.1, 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_j_eval), out_t_eval.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-5,
+    )
 
 
 @pytest.mark.slow
