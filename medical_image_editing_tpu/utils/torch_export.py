@@ -261,7 +261,8 @@ def export_unet_discriminator(dis_vars: dict, module) -> Dict[str, np.ndarray]:
             for t, part in enumerate(("theta", "phi", "g", "o")):
                 _export_sn_conv(out, f"blocks.{index}.1.{part}",
                                 ap[f"SNConv_{t}"], ast[f"SNConv_{t}"])
-            out[f"blocks.{index}.1.gamma"] = _np(ap["gamma"]).reshape(1)
+            # reference gamma is a 0-d tensor (`biggan/layers.py:158`)
+            out[f"blocks.{index}.1.gamma"] = _np(ap["gamma"]).reshape(())
             n_a += 1
 
     _conv(out, f"blocks.{n_idx}", params["Conv_0"])
@@ -282,6 +283,13 @@ def export_unet_discriminator(dis_vars: dict, module) -> Dict[str, np.ndarray]:
     out["linear.bias"] = np.zeros((out_dim,), np.float32)
     out["linear.u0"] = np.ones((1, out_dim), np.float32)
     out["linear.sv0"] = np.ones((1,), np.float32)
+
+    if "SNEmbed_0" in params:
+        # projection-conditional D (`unet_discriminator.py:499-501`)
+        for ours, ref in (("SNEmbed_0", "embed_middle"), ("SNEmbed_1", "embed")):
+            out[f"{ref}.weight"] = _np(params[ours]["embedding"])
+            out[f"{ref}.u0"] = _np(stats[ours]["u"]).reshape(1, -1)
+            out[f"{ref}.sv0"] = _np(stats[ours]["sigma"]).reshape(1)
     return out
 
 

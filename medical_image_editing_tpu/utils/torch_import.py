@@ -622,6 +622,16 @@ def import_unet_discriminator(
         if f"linear.{leaf}" in s:
             s.used.add(prefix + f"linear.{leaf}")
 
+    if "embed_middle.weight" in s:
+        # projection-conditional D (`unet_discriminator.py:499-501`): SNEmbed_0
+        # is the bottleneck embedding, SNEmbed_1 the pixel-map one
+        for ours, ref in (("SNEmbed_0", "embed_middle"), ("SNEmbed_1", "embed")):
+            params[ours] = {"embedding": _a(s.take(f"{ref}.weight"))}
+            stats[ours] = {
+                "u": _a(s.take(f"{ref}.u0")),
+                "sigma": _a(s.take(f"{ref}.sv0")[0]),
+            }
+
     s.assert_consumed("UNetDiscriminator")
     out = {"params": params, "batch_stats": stats}
     _check_tree(out, target_vars, "UNetDiscriminator")

@@ -209,6 +209,54 @@ def test_export_unet_discriminator_parity(rng):
 
 
 @pytest.mark.slow
+def test_export_conditional_unet_discriminator_round_trip(rng):
+    """Projection-conditional D: export strict-loads into a conditional
+    reference D with forward parity on labels, and export→import reproduces
+    the variables exactly (`unet_discriminator.py:499-501,605-623`)."""
+    torch = pytest.importorskip("torch")
+    ref_unet_dis = ph.import_ref_module("unet_discriminator")
+    from test_gan_parity import _build_torch_unet_dis
+
+    from medical_image_editing_tpu.models import UNetDiscriminator
+    from medical_image_editing_tpu.utils import torch_import as ti
+
+    jdis = UNetDiscriminator(D_ch=8, resolution=128, n_classes=5)
+    x = rng.normal(size=(2, 128, 128, 3)).astype(np.float32)
+    y = np.array([2, 4], dtype=np.int64)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    dis_vars = jdis.init(jax.random.key(0), xj, train=False, y=yj)
+    sd = te.export_unet_discriminator(dis_vars, jdis)
+
+    tdis = _build_torch_unet_dis(ref_unet_dis, n_classes=5)
+    _strict_load(torch, tdis, sd).train()
+
+    (map_j, mid_j, _), _ = jdis.apply(
+        dis_vars, xj, train=True, y=yj, mutable=["batch_stats"]
+    )
+    with torch.no_grad():
+        map_t, mid_t, _ = tdis(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(y)
+        )
+    np.testing.assert_allclose(
+        np.asarray(map_j)[..., 0], map_t.numpy()[:, 0], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(mid_j), mid_t.numpy(), rtol=1e-3, atol=1e-4
+    )
+
+    # exact export→import round trip, embeddings included
+    back = ti.import_unet_discriminator(
+        {k: np.asarray(v) for k, v in sd.items()}, prefix="",
+        target_vars=dis_vars,
+    )
+    for coll in ("params", "batch_stats"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            back[coll], jax.tree.map(np.asarray, dict(dis_vars[coll])),
+        )
+
+
+@pytest.mark.slow
 def test_export_vqgan_strict_load_and_parity(rng):
     torch = pytest.importorskip("torch")
     vqgan_mod = ph.import_ref_module("vqgan")
