@@ -315,21 +315,25 @@ class DataLoader:
             yield b
 
 
-def prefetch_to_device(iterator, size: int = 2, sharding=None):
+def prefetch_to_device(iterator, size: int = 2, sharding=None, put_fn=None):
     """Double-buffered device prefetch of the 'image' field.
 
     Keeps `size` batches in flight on the accelerator so the HBM copy of batch
-    i+1 overlaps step i (SURVEY.md §7 design stance).
+    i+1 overlaps step i (SURVEY.md §7 design stance). `put_fn` overrides the
+    placement (e.g. multi-process global-array assembly); default is
+    `jax.device_put` with `sharding`.
     """
     import collections
 
     import jax
 
     buf = collections.deque()
+    if put_fn is None:
+        put_fn = lambda image: jax.device_put(image, sharding)
 
     def put(batch):
         device_batch = dict(batch)
-        device_batch["image"] = jax.device_put(batch["image"], sharding)
+        device_batch["image"] = put_fn(batch["image"])
         buf.append(device_batch)
 
     it = iter(iterator)

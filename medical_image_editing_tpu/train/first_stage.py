@@ -34,7 +34,7 @@ from ..ops.augment import cross_view_transform, random_transform
 from ..ops.losses import embedding_loss, focal_frequency_loss
 from ..ops.onehot import one_hot
 from ..ops.windowing import denorm, norm
-from .state import TrainState
+from .state import TrainState, per_device_keys
 
 
 class FirstStageLossConfig(NamedTuple):
@@ -104,6 +104,7 @@ def make_first_stage_step(
 
     def step_fn(state: TrainState, image, drop_prob=0.0):
         rng, k1, k2, kd1, kd2 = jax.random.split(state.rng, 5)
+        k1, k2, kd1, kd2 = per_device_keys(axis_name, k1, k2, kd1, kd2)
 
         image01 = denorm(image.astype(jnp.float32), 0.0, 1.0)
         noised_1, clear_1, mats_1 = random_transform(k1, image01, aug_cfg)

@@ -42,7 +42,7 @@ from ..ops.windowing import (
 )
 from .first_stage import FirstStageLossConfig, make_first_stage_step
 from .second_stage import SecondStageLossConfig, _apply, _split_vars, unet_perceptual_loss
-from .state import TrainState
+from .state import TrainState, per_device_keys
 
 
 def _maybe_remat_dis(dis, use_remat: bool):
@@ -166,12 +166,18 @@ def make_multi_window_second_stage_step(
     """GAN second step over three windows (UNetDiscriminator).
     Spec: `multi_window_trainer.py:208-390`."""
     assert loss_cfg.dis_loss_type == "hinge_d_loss"
+    # map+bottleneck protocol only (`multi_window_trainer.py:208-392`); a
+    # PatchGAN's single logits array would fail the 3-tuple unpack opaquely
+    assert type(dis).__name__ != "NLayerDiscriminator", (
+        "multi-window GAN steps require UNetDiscriminator"
+    )
     fns = window_fns(dataset_window)
     n = float(len(fns))
     _apply_gen = _maybe_remat_dis(dis, use_remat)
 
     def step_fn(state: TrainState, image, drop_prob=0.0):
         rng, k_drop, k_dis = jax.random.split(state.rng, 3)
+        k_drop, k_dis = per_device_keys(axis_name, k_drop, k_dis)
         image = image.astype(jnp.float32)
 
         q, _, ids, _, _ = encoder(state.enc_vars, state.vq, image, train=False)
@@ -292,6 +298,9 @@ def make_multi_window_second_stage_step(
         )(dis_params)
         if axis_name is not None:
             dis_grads = jax.lax.pmean(dis_grads, axis_name)
+            # SN power-iteration state replicated (DDP buffer-broadcast
+            # equivalent — see second_stage.py)
+            de_run = jax.lax.pmean(de_run, axis_name)
         dis_updates, dis_opt = dis_tx.update(dis_grads, state.dis_opt, dis_params)
         dis_params = optax.apply_updates(dis_params, dis_updates)
 
@@ -345,12 +354,18 @@ def make_joint_step(
     discriminator update over all window×view pairs with CutMix consistency
     (one box per window, shared by the two views — `:530-560`).
     """
+    assert type(dis).__name__ != "NLayerDiscriminator", (
+        "multi-window GAN steps require UNetDiscriminator"
+    )
     fns = window_fns(dataset_window)
     n = float(len(fns))
     _apply_gen = _maybe_remat_dis(dis, use_remat)
 
     def step_fn(state: TrainState, image, drop_prob=0.0):
         rng, k1, k2, kd1, kd2, k_dis = jax.random.split(state.rng, 6)
+        k1, k2, kd1, kd2, k_dis = per_device_keys(
+            axis_name, k1, k2, kd1, kd2, k_dis
+        )
         image01 = denorm(image.astype(jnp.float32), 0.0, 1.0)
         noised_1, clear_1, mats_1 = random_transform(k1, image01, aug_cfg)
         noised_2, clear_2, mats_2 = random_transform(k2, image01, aug_cfg)
@@ -554,6 +569,9 @@ def make_joint_step(
         )(dis_params)
         if axis_name is not None:
             dis_grads = jax.lax.pmean(dis_grads, axis_name)
+            # SN power-iteration state replicated (DDP buffer-broadcast
+            # equivalent — see second_stage.py)
+            de_run = jax.lax.pmean(de_run, axis_name)
         dis_updates, dis_opt = dis_tx.update(dis_grads, state.dis_opt, dis_params)
         dis_params = optax.apply_updates(dis_params, dis_updates)
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.mingpt import GPT, forward_with_past
+from .state import per_device_keys
 
 
 class PriorTrainState(NamedTuple):
@@ -70,6 +71,7 @@ def make_prior_train_step(
 
     def step_fn(state: PriorTrainState, ids):
         rng, k_drop = jax.random.split(state.rng)
+        (k_drop,) = per_device_keys(axis_name, k_drop)
         seq = ids_to_sequence(ids, sos_token)
         inp, tgt = seq[:, :-1], seq[:, 1:]
 

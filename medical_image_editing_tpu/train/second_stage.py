@@ -33,7 +33,7 @@ import optax
 
 from ..ops.cutmix import cutmix_coordinates, cutmix_mask, mask_src_tgt
 from ..ops.losses import focal_frequency_loss, hinge_d_loss
-from .state import TrainState
+from .state import TrainState, per_device_keys
 
 
 class SecondStageLossConfig(NamedTuple):
@@ -146,6 +146,7 @@ def make_second_stage_step(
 
     def step_fn(state: TrainState, image, drop_prob=0.0):
         rng, k_drop, k_dis = jax.random.split(state.rng, 3)
+        k_drop, k_dis = per_device_keys(axis_name, k_drop, k_dis)
         image = image.astype(jnp.float32)
 
         # frozen encoder, eval mode: no VQ EMA update (spec `:273-275`)
@@ -292,6 +293,11 @@ def make_second_stage_step(
         (dis_params, dis_extra_run, dis_opt), dis_mets = jax.lax.scan(
             dis_iter, (dis_params, dis_extra_run, state.dis_opt), keys
         )
+        if axis_name is not None:
+            # the discriminator's mutable collections (spectral-norm u/σ,
+            # ActNorm data init) update from each device's local shard — keep
+            # them replicated like torch DDP's per-forward buffer broadcast
+            dis_extra_run = jax.lax.pmean(dis_extra_run, axis_name)
         last_dis_mets = jax.tree.map(lambda a: a[-1], dis_mets)
 
         metrics = {

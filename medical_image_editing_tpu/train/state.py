@@ -32,6 +32,24 @@ class TrainState:
     dis_opt: Any
 
 
+def per_device_keys(axis_name: Optional[str], *keys):
+    """Decorrelate data-consuming PRNG keys across shard_map devices.
+
+    `state.rng` is replicated under `parallel.data_parallel`, so a plain
+    `split` hands every device the SAME keys — each device would then draw
+    identical augmentations/dropout/CutMix boxes for its local shard,
+    shrinking the global batch's randomness diversity from B to B/n_devices.
+    Folding in `axis_index` gives each device an independent stream while the
+    carried `state.rng` stays replicated (the torch-DDP equivalent: each
+    rank's DataLoader draws its own augmentations). No-op when `axis_name` is
+    None (single device) — numerics there are unchanged.
+    """
+    if axis_name is None:
+        return keys
+    idx = jax.lax.axis_index(axis_name)
+    return tuple(jax.random.fold_in(k, idx) for k in keys)
+
+
 def make_optimizer(lr: float, b1: float = 0.9, b2: float = 0.999, weight_decay: float = 0.0):
     """torch.optim.Adam parity: weight decay added to the gradient *before*
     the moment updates (spec: `base.py:164-183`)."""

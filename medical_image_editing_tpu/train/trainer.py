@@ -104,6 +104,12 @@ class Trainer:
         dis_cfg = cfg.model.dis
 
         self.dict_size = int(gen.dict_size)
+        # id-map panels/bincounts/exports must scale to the codebook actually
+        # producing the ids — the VQGAN's own dict_size on -v runs, which can
+        # differ from the (also required) vqmodel.dict_size
+        self.eval_dict_size = (
+            int(cfg.model.vqgan.dict_size) if self.use_vqgan else self.dict_size
+        )
         dtype_name = str(g(gen, "compute_dtype", "") or "")
         self.compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
             dtype_name, None
@@ -389,6 +395,13 @@ class Trainer:
     def fit(self, state=None, max_epochs: Optional[int] = None, max_steps=None):
         cfg = self.config
         run = cfg.run
+        if self.train_step is None:
+            raise ValueError(
+                f"run.training_mode {str(run.training_mode)!r} has no training "
+                "step — valid training modes are 'first_step', 'second_step' "
+                "(and 'joint_step' with the multi-window trainer); 'inference' "
+                "is test-only (run with -m test)"
+            )
         n_epochs = int(max_epochs if max_epochs is not None else run.n_epochs)
 
         loader = self.dataloader("train")
@@ -417,6 +430,9 @@ class Trainer:
             state = saver_resume.restore(state)
             print(f"Resumed from {run.resume_checkpoint}")
 
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+
         # codebook k-means init before compiling the train loop (the
         # reference does this inside the first forward, unet_encoder.py:66-91)
         if (
@@ -426,19 +442,25 @@ class Trainer:
         ):
             from .first_stage import init_codebook_step
 
-            init_fn = jax.jit(init_codebook_step(self.encoder))
             first = next(iter(loader))
-            state = init_fn(state, jnp.asarray(first["image"]))
+            image0 = jnp.asarray(first["image"])
+            if self.mesh is not None:
+                # run under the mesh so features all_gather before Lloyd
+                # (reference parity: unet_encoder.py:66-91 gathers across
+                # ranks) — required in multi-process runs where each
+                # process's first batch differs; every device then computes
+                # identical centers, keeping the replicated-state invariant
+                init_fn = data_parallel(
+                    init_codebook_step(self.encoder, axis_name=DATA_AXIS),
+                    self.mesh, n_state_args=1,
+                )
+                state = init_fn(state, self._shard_train_batch(image0))
+            else:
+                init_fn = jax.jit(init_codebook_step(self.encoder))
+                state = init_fn(state, image0)
             print("Initialized codebook with k-means on the first batch")
 
-        if self.mesh is not None:
-            state = replicate(self.mesh, state)
-
-        sharding = None
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        put_fn = self._shard_train_batch if self.mesh is not None else None
 
         eval_forward = self._make_eval_forward()
 
@@ -495,7 +517,7 @@ class Trainer:
             )
             skip = resume_skip if epoch == start_epoch else 0
             epoch_batches = loader.epoch_iterator(epoch, skip_batches=skip)
-            for batch in prefetch_to_device(epoch_batches, size=2, sharding=sharding):
+            for batch in prefetch_to_device(epoch_batches, size=2, put_fn=put_fn):
                 if profile_dir and not profiling and global_step + 1 >= profile_start:
                     jax.profiler.start_trace(str(profile_dir))
                     profiling = True
@@ -507,7 +529,8 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
                     profile_dir = None  # one capture per fit
-                if self.logger is not None:
+                # the divergence guard must run with or without a logger
+                if self.logger is not None or halt_on_non_finite:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     if halt_on_non_finite and not math.isfinite(m.get("total", 0.0)):
                         raise TrainingDivergedError(
@@ -518,6 +541,7 @@ class Trainer:
                             "Set run.halt_on_non_finite: false to train on "
                             "through NaNs (the reference's behavior)."
                         )
+                if self.logger is not None:
                     m["epoch"] = epoch
                     m["iteration"] = global_step
                     if self.perceptual_fallback:
@@ -601,12 +625,12 @@ class Trainer:
                 [
                     (img, "image", "gray", -1, 1, 1),
                     (rec, "recon", "gray", -1, 1, 2),
-                    (idm, "ids", CMAP, 0, self.dict_size, 3),
+                    (idm, "ids", CMAP, 0, self.eval_dict_size, 3),
                 ],
                 n_row=1,
                 n_col=3,
             )
-            print("IDs: ", np.bincount(idm.ravel(), minlength=self.dict_size + 1))
+            print("IDs: ", np.bincount(idm.ravel(), minlength=self.eval_dict_size + 1))
             if self.uploader is not None:
                 self.uploader.send_image(path, message=f"Global Step: {global_step}")
         except Exception as e:  # snapshots must never kill training
@@ -645,10 +669,14 @@ class Trainer:
     def _validate(self, eval_forward, state, epoch, limit_val_batches: int = 2):
         """Per-epoch rank-0 validation grids (limit_val_batches=2,
         `run_vqwnet.py:127`)."""
-        try:
-            val_loader = self.dataloader("val")
-        except Exception:
-            return
+        # build the val loader once, not per epoch (dataset construction
+        # re-walks the data root); DataLoader is re-iterable
+        if getattr(self, "_val_loader", None) is None:
+            try:
+                self._val_loader = self.dataloader("val")
+            except Exception:
+                return
+        val_loader = self._val_loader
         dis_forward = self._make_dis_forward(state)
         for i, batch in enumerate(val_loader):
             if i >= limit_val_batches:
@@ -667,7 +695,7 @@ class Trainer:
                     dis_maps=dis_maps,
                     forward_outputs=forward_outputs,
                     dataset_name=str(self.config.dataset.dataset_name),
-                    dict_size=self.dict_size,
+                    dict_size=self.eval_dict_size,
                     n_save_images=int(g(self.config.save, "n_save_images", 4) or 4),
                     save_path=os.path.join(
                         self.logger.log_dir, f"val_{epoch:04d}_{i}.png"
@@ -703,17 +731,39 @@ class Trainer:
             return image
         return jax.device_put(image, NamedSharding(self.mesh, P(DATA_AXIS)))
 
+    def _shard_train_batch(self, image):
+        """Shard a TRAIN batch over the data axis. Single-process mesh: plain
+        device_put. Multi-process mesh: the loader yields this process's
+        contiguous row block (per-process dataset sharding, loader.py), so the
+        global batch is assembled with `make_array_from_process_local_data`
+        (global rows in mesh order — same layout the two-process integration
+        test pins)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import _mesh_is_local
+
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        if _mesh_is_local(self.mesh):
+            return jax.device_put(image, sharding)
+        import numpy as np
+
+        arr = np.asarray(image)
+        global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, arr, global_shape)
+
     def test(self, state, save_dir_path: Optional[str] = None):
         mode = str(self.config.run.training_mode)
         loader = self.dataloader("test")
         if mode == "inference":
-            forward = evaluate.make_eval_forward(self.encoder, self.decoder)
+            # the VQGAN configuration has decoder=None — use the trainer's
+            # eval forward, which routes through the right autoencoder
+            forward = self._make_eval_forward()
             written = []
             for batch in loader:
                 written += evaluate.inference_export(
                     forward, state, batch,
                     dataset_name=str(self.config.dataset.dataset_name),
-                    dict_size=self.dict_size,
+                    dict_size=self.eval_dict_size,
                     save_root=str(self.config.save.save_dir),
                     study_name=str(self.config.save.study_name),
                     to_lung_fn=(self.to_lung if self.dataset_window else None),

@@ -27,7 +27,7 @@ from .second_stage import (
     _split_vars,
     unet_perceptual_loss,
 )
-from .state import TrainState
+from .state import TrainState, per_device_keys
 
 
 def make_vqgan_step(
@@ -52,6 +52,7 @@ def make_vqgan_step(
     def step_fn(state: TrainState, image, drop_prob=0.0):
         del drop_prob  # VQGAN path has no dropblock schedule
         rng, k_drop, k_dis = jax.random.split(state.rng, 3)
+        k_drop, k_dis = per_device_keys(axis_name, k_drop, k_dis)
         image = image.astype(jnp.float32)
 
         dec_params, dec_extra = _split_vars(state.dec_vars)
@@ -184,6 +185,10 @@ def make_vqgan_step(
         (dis_params, de_run, dis_opt), dis_mets = jax.lax.scan(
             dis_iter, (dis_params, de_run, state.dis_opt), keys
         )
+        if axis_name is not None:
+            # keep the SN power-iteration state replicated (DDP buffer
+            # broadcast equivalent — see second_stage.py)
+            de_run = jax.lax.pmean(de_run, axis_name)
         last = jax.tree.map(lambda a: a[-1], dis_mets)
 
         metrics = {**aux["metrics"], **last, "total": gen_total + last["dis_total"]}

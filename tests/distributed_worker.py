@@ -46,12 +46,18 @@ def build(axis_name, optimizer="sgd"):
         axis_name=axis_name,
     )
     x = jnp.zeros((1, 32, 32, 1))
-    enc_vars, vq = enc.init(jax.random.key(0), x)
+    # derive every init key through init_seed with a PER-RANK seed_list: the
+    # CLI's real path. Pins the invariant that the returned jax key is
+    # identical on every process (process 0's seed broadcast — the DDP
+    # rank-0 param broadcast equivalent); with the old per-process fold_in,
+    # the cross-process digest identity check below would fail.
+    from medical_image_editing_tpu.utils.seed import init_seed
+
+    key, _ = init_seed([111, 222])
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    enc_vars, vq = enc.init(k0, x)
     q, *_ = enc(enc_vars, vq, x, train=False)
-    dec_vars = dec.init(
-        {"params": jax.random.key(1), "dropblock": jax.random.key(2)}, q,
-        train=False,
-    )
+    dec_vars = dec.init({"params": k1, "dropblock": k2}, q, train=False)
     # SGD by default: the topology-transparency check compares parameter
     # updates between 2-process and 1-process runs. Updates linear in the
     # gradients keep cross-process reduction-order noise *relative* (~1e-5);
@@ -65,9 +71,7 @@ def build(axis_name, optimizer="sgd"):
         import optax
 
         enc_tx, dec_tx = optax.sgd(1e-5), optax.sgd(1e-5)
-    state = create_train_state(
-        jax.random.key(3), enc_vars, dec_vars, vq, enc_tx, dec_tx
-    )
+    state = create_train_state(k3, enc_vars, dec_vars, vq, enc_tx, dec_tx)
     step = make_first_stage_step(
         enc, dec, enc_tx, dec_tx,
         loss_cfg=FirstStageLossConfig(margin=0.5), aug_cfg=AUG, dict_size=DICT,

@@ -93,10 +93,12 @@ def test_two_process_data_parallel_step(tmp_path):
     state, m2 = pstep(state, image, 0.0)
 
     assert np.isfinite(float(m2["total"]))
-    # step-1 forward is bit-identical (same data, same replicated state);
-    # step-2 sees reduction-order noise (gloo ring all-reduce vs XLA
-    # single-process reduction on ~1e5-magnitude grads), so allclose.
-    assert float(m1["total"]) == float(r0["total1"])
+    # per_device_keys gives each device a distinct augmentation stream, so
+    # the metric pmean averages genuinely different per-device values — the
+    # gloo ring all-reduce vs XLA single-process reduction order then shows
+    # at float32 ULP scale even on step 1; step 2 compounds it through the
+    # ~1e5-magnitude grads. Both are reduction-order noise, so allclose.
+    np.testing.assert_allclose(float(m1["total"]), float(r0["total1"]), rtol=1e-6)
     np.testing.assert_allclose(float(m2["total"]), float(r0["total2"]), rtol=1e-5)
     # parameter *updates* over two SGD steps match up to collective
     # reduction-order noise, relative to the update scale.

@@ -94,6 +94,31 @@ def test_codebook_init_step(rng):
     assert not np.allclose(np.asarray(new_state.vq.embed), np.asarray(state.vq.embed))
 
 
+def test_per_device_keys_decorrelate_across_mesh():
+    """Under shard_map the replicated state.rng must yield a DIFFERENT stream
+    per device (otherwise every device draws the same augmentations for its
+    local shard — global randomness diversity B/n instead of B)."""
+    from jax.sharding import PartitionSpec as P
+
+    from medical_image_editing_tpu.train.state import per_device_keys
+
+    mesh = create_mesh(jax.devices("cpu")[:8])
+    base = jax.random.key(0)
+
+    def f(k):
+        (k1,) = per_device_keys(DATA_AXIS, k)
+        return jax.random.key_data(k1)[None]
+
+    out = jax.jit(
+        jax.shard_map(f, mesh=mesh, in_specs=P(), out_specs=P(DATA_AXIS),
+                      check_vma=False)
+    )(base)
+    assert len(np.unique(np.asarray(out), axis=0)) == 8
+    # single-device: exact passthrough (numerics unchanged)
+    (same,) = per_device_keys(None, base)
+    assert same is base
+
+
 @pytest.mark.slow
 def test_first_stage_data_parallel_matches_replicated_semantics(rng):
     """The shard_map'd step must produce identical (replicated) state on all
