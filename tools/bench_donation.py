@@ -69,15 +69,19 @@ def build():
     return step_fn, state
 
 
-def time_loop(run_one, state, image, n=20):
+def time_loop(run_one, state, image, n=10, windows=3):
+    """Best-of-N windows (same policy as bench.py): the axon tunnel adds
+    multi-second scheduling stalls that poison any single window."""
     state, m = run_one(state, image)
     assert np.isfinite(float(m["total"]))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, m = run_one(state, image)
-    assert np.isfinite(float(m["total"]))
-    dt = (time.perf_counter() - t0) / n * 1000.0
-    return dt
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = run_one(state, image)
+        assert np.isfinite(float(m["total"]))
+        best = min(best, (time.perf_counter() - t0) / n * 1000.0)
+    return best
 
 
 def main():
@@ -124,17 +128,23 @@ def main():
     jsplit = jax.jit(split_step, donate_argnums=(0,))
     big = [l for l, mk in zip(leaves, big_mask) if mk]
     small = [l for l, mk in zip(leaves, big_mask) if not mk]
+    # Unshare: identical init-time arrays (zero biases of one shape) can
+    # alias ONE device buffer; donating that pair deletes a live array on
+    # the second use. A jitted per-leaf copy of *parameters* yields distinct
+    # buffers (no constant-CSE across distinct inputs).
+    big = jax.jit(lambda t: [x + jnp.zeros((), x.dtype) for x in t])(big)
 
     try:
         big, small, m = jsplit(big, small, image, w)
         assert np.isfinite(float(m["total"]))
-        n = 20
-        t0 = time.perf_counter()
-        for _ in range(n):
-            big, small, m = jsplit(big, small, image, w)
-        assert np.isfinite(float(m["total"]))
-        dt = (time.perf_counter() - t0) / n * 1000.0
-        print(f"C donate big subtree     {dt:8.2f} ms  ({BATCH / dt * 1000:.2f} img/s)")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                big, small, m = jsplit(big, small, image, w)
+            assert np.isfinite(float(m["total"]))
+            best = min(best, (time.perf_counter() - t0) / 10 * 1000.0)
+        print(f"C donate big subtree     {best:8.2f} ms  ({BATCH / best * 1000:.2f} img/s)")
     except Exception as e:
         print(f"C donate big subtree     FAILED: {type(e).__name__}: {str(e)[:160]}")
 
