@@ -78,6 +78,7 @@ def data_parallel(
     *,
     n_state_args: int = 1,
     axis: str = DATA_AXIS,
+    donate_state: bool = False,
 ) -> Callable:
     """Wrap a per-device step into a jitted data-parallel step.
 
@@ -85,6 +86,12 @@ def data_parallel(
     (grad pmean, VQ stats, batch stats). The first `n_state_args` arguments are
     replicated; the rest are sharded along their leading axis. All outputs are
     replicated.
+
+    `donate_state=True` donates the state arguments' buffers to their updated
+    outputs (same replicated sharding in and out, so XLA can reuse the HBM in
+    place — saves a copy of every parameter/optimizer buffer per step). The
+    caller must not touch the passed-in state after the call; pass the state
+    through `train.state.unshare_buffers` once before the first donating call.
     """
 
     def wrapped(*args):
@@ -107,7 +114,8 @@ def data_parallel(
         )
         return mapped(*args)
 
-    return jax.jit(wrapped)
+    donate = tuple(range(n_state_args)) if donate_state else ()
+    return jax.jit(wrapped, donate_argnums=donate)
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,

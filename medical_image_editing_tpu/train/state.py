@@ -50,6 +50,31 @@ def per_device_keys(axis_name: Optional[str], *keys):
     return tuple(jax.random.fold_in(k, idx) for k in keys)
 
 
+def unshare_buffers(tree):
+    """Return a copy of `tree` whose leaves own distinct device buffers.
+
+    Freshly-initialized variable trees can alias ONE device buffer across
+    leaves (XLA caches identical constants — e.g. the zero biases of equal
+    shape coming out of one jitted `init`). Donating an aliased pair via
+    `donate_argnums` deletes the shared buffer on its first use and raises
+    "Array has been deleted" on the second. A jitted per-leaf arithmetic copy
+    breaks the aliasing: each output depends on a distinct input, so XLA
+    cannot constant-CSE them. Call once on the state before entering a
+    donating train loop (the loop's own outputs are always distinct).
+    """
+
+    def copy(x):
+        if not isinstance(x, jax.Array):
+            return x
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(jax.random.key_data(x) ^ jnp.zeros((), jnp.uint32))
+        if x.dtype == jnp.bool_:
+            return jnp.logical_or(x, jnp.zeros((), jnp.bool_))
+        return x + jnp.zeros((), x.dtype)
+
+    return jax.jit(lambda t: jax.tree.map(copy, t))(tree)
+
+
 def make_optimizer(lr: float, b1: float = 0.9, b2: float = 0.999, weight_decay: float = 0.0):
     """torch.optim.Adam parity: weight decay added to the gradient *before*
     the moment updates (spec: `base.py:164-183`)."""

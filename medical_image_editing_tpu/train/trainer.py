@@ -284,12 +284,24 @@ class Trainer:
             else:
                 step = None
 
+        # Buffer donation: the step's state argument and its updated output
+        # share the same shapes/shardings, so donating lets XLA update the
+        # multi-GB parameter/optimizer/VQ buffers in place instead of writing
+        # fresh copies each step (HBM traffic + footprint win). `fit` unshares
+        # the state's buffers once before the loop and never reuses a donated
+        # input. `run.donate_buffers: false` opts out (e.g. on a PJRT runtime
+        # that rejects donation — this environment's plugin did until the
+        # 2026-08 host upgrade).
+        self.donate = bool(g(self.config.run, "donate_buffers", True))
         if step is None:
             self.train_step = None
         elif self.mesh is not None:
-            self.train_step = data_parallel(step, self.mesh, n_state_args=1)
+            self.train_step = data_parallel(
+                step, self.mesh, n_state_args=1, donate_state=self.donate
+            )
         else:
-            self.train_step = jax.jit(step)
+            donate = (0,) if self.donate else ()
+            self.train_step = jax.jit(step, donate_argnums=donate)
 
     # ------------------------------------------------------------------
     # state init + staged loading
@@ -481,6 +493,15 @@ class Trainer:
                 "reference's learned perceptual metric. Metric key "
                 "'perceptual_fallback'=1.0 is attached to every step."
             )
+
+        if self.donate:
+            # the donating train_step requires every state leaf to own its
+            # buffer (fresh inits can constant-alias identical zero leaves);
+            # one-time jitted copy, after which the loop's own outputs are
+            # always distinct
+            from .state import unshare_buffers
+
+            state = unshare_buffers(state)
 
         db_start, db_stop, db_steps = self._db
         save_every_n_steps = int(g(cfg.save, "save_every_n_steps", 0) or 0)

@@ -1,25 +1,27 @@
 """Fine-grained buffer-donation experiment on the first-stage step.
 
-Round-1/2 finding: `jax.jit(step, donate_argnums=(0,))` on the FULL TrainState
-trips `INVALID_ARGUMENT: TPU backend error` in this environment's PJRT plugin
-(tools/bench_decoder_glue.py). Hypothesis tested here: the failure is caused by
-donating the *small/odd* leaves (int32 scalars `step`/`epoch`, the typed PRNG
-key array `rng`) rather than the big float buffers — so donate only the
-parameter/optimizer/VQ subtree and carry the scalars undonated.
+History: until the 2026-08 host upgrade, this environment's PJRT plugin raised
+`INVALID_ARGUMENT: TPU backend error` on `jax.jit(step, donate_argnums=(0,))`
+over the FULL TrainState; variant C isolated the hypothesis that the small/odd
+leaves (int32 scalars, typed PRNG key) were the trigger. Post-upgrade, B
+passes, and donation is wired into the trainer/bench by default
+(`run.donate_buffers`). This tool remains the canary: re-run it after any
+runtime change before trusting the default.
 
 Variants:
   A  baseline              no donation
-  B  donate full state     expected to fail on this plugin (control)
+  B  donate full state     the production configuration
   C  donate big subtree    enc/dec vars + VQ buffers + both Adam states only
 
 Donation saves an HBM copy of every donated buffer per step (~2×params of
 write traffic) — bounded at a few ms for this model, but free if it works.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -69,24 +71,34 @@ def build():
     return step_fn, state
 
 
-def time_loop(run_one, state, image, n=10, windows=3):
+def time_loop(run_one, carry, n=10, windows=3):
     """Best-of-N windows (same policy as bench.py): the axon tunnel adds
-    multi-second scheduling stalls that poison any single window."""
-    state, m = run_one(state, image)
-    assert np.isfinite(float(m["total"]))
+    multi-second scheduling stalls that poison any single window.
+
+    `run_one(carry) -> (carry, total_loss)` over an opaque carry, so the same
+    timing/warmup/assert policy serves the full-state AND split variants."""
+    carry, total = run_one(carry)
+    assert np.isfinite(float(total))
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(n):
-            state, m = run_one(state, image)
-        assert np.isfinite(float(m["total"]))
+            carry, total = run_one(carry)
+        assert np.isfinite(float(total))
         best = min(best, (time.perf_counter() - t0) / n * 1000.0)
     return best
 
 
-def main():
-    from medical_image_editing_tpu.train.state import TrainState
+def fresh_state(state):
+    """Distinct-buffer copy of every leaf, so each variant runs on live
+    arrays even after a previous variant donated (and thus deleted) its
+    input buffers."""
+    from medical_image_editing_tpu.train.state import unshare_buffers
 
+    return unshare_buffers(state)
+
+
+def main():
     step_fn, state = build()
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.uniform(-1, 1, (BATCH, SIZE, SIZE, 1)).astype(np.float32))
@@ -94,13 +106,25 @@ def main():
 
     # A: baseline
     jstep = jax.jit(step_fn)
-    dt = time_loop(lambda s, im: jstep(s, im, w), state, image)
+
+    def run_a(s):
+        s, m = jstep(s, image, w)
+        return s, m["total"]
+
+    dt = time_loop(run_a, fresh_state(state))
     print(f"A no-donation            {dt:8.2f} ms  ({BATCH / dt * 1000:.2f} img/s)")
 
-    # B: full-state donation (control — known to fail on this plugin)
+    # B: full-state donation (the production configuration). Runs on its own
+    # copy of the state: donation deletes its input buffers, so later variants
+    # must never see B's arrays.
     try:
         jfull = jax.jit(step_fn, donate_argnums=(0,))
-        dt = time_loop(lambda s, im: jfull(s, im, w), state, image)
+
+        def run_b(s):
+            s, m = jfull(s, image, w)
+            return s, m["total"]
+
+        dt = time_loop(run_b, fresh_state(state))
         print(f"B donate full state      {dt:8.2f} ms  ({BATCH / dt * 1000:.2f} img/s)")
     except Exception as e:
         print(f"B donate full state      FAILED: {type(e).__name__}: {str(e)[:160]}")
@@ -112,39 +136,32 @@ def main():
     def _is_big(x):
         return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) and x.ndim > 0
 
-    leaves, treedef = jax.tree.flatten(state)
-    big_mask = [_is_big(l) for l in leaves]
-
-    def split_step(big, small, image, w):
-        it_b, it_s = iter(big), iter(small)
-        merged = [next(it_b) if m else next(it_s) for m in big_mask]
-        s = jax.tree.unflatten(treedef, merged)
-        ns, m = step_fn(s, image, w)
-        out = jax.tree.leaves(ns)
-        big2 = [l for l, mk in zip(out, big_mask) if mk]
-        small2 = [l for l, mk in zip(out, big_mask) if not mk]
-        return big2, small2, m
-
-    jsplit = jax.jit(split_step, donate_argnums=(0,))
-    big = [l for l, mk in zip(leaves, big_mask) if mk]
-    small = [l for l, mk in zip(leaves, big_mask) if not mk]
-    # Unshare: identical init-time arrays (zero biases of one shape) can
-    # alias ONE device buffer; donating that pair deletes a live array on
-    # the second use. A jitted per-leaf copy of *parameters* yields distinct
-    # buffers (no constant-CSE across distinct inputs).
-    big = jax.jit(lambda t: [x + jnp.zeros((), x.dtype) for x in t])(big)
-
     try:
-        big, small, m = jsplit(big, small, image, w)
-        assert np.isfinite(float(m["total"]))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(10):
-                big, small, m = jsplit(big, small, image, w)
-            assert np.isfinite(float(m["total"]))
-            best = min(best, (time.perf_counter() - t0) / 10 * 1000.0)
-        print(f"C donate big subtree     {best:8.2f} ms  ({BATCH / best * 1000:.2f} img/s)")
+        c_state = fresh_state(state)  # live + unaliased buffers for donation
+        leaves, treedef = jax.tree.flatten(c_state)
+        big_mask = [_is_big(l) for l in leaves]
+
+        def split_step(big, small, image, w):
+            it_b, it_s = iter(big), iter(small)
+            merged = [next(it_b) if m else next(it_s) for m in big_mask]
+            s = jax.tree.unflatten(treedef, merged)
+            ns, m = step_fn(s, image, w)
+            out = jax.tree.leaves(ns)
+            big2 = [l for l, mk in zip(out, big_mask) if mk]
+            small2 = [l for l, mk in zip(out, big_mask) if not mk]
+            return big2, small2, m
+
+        jsplit = jax.jit(split_step, donate_argnums=(0,))
+        big = [l for l, mk in zip(leaves, big_mask) if mk]
+        small = [l for l, mk in zip(leaves, big_mask) if not mk]
+
+        def run_c(carry):
+            big, small = carry
+            big, small, m = jsplit(big, small, image, w)
+            return (big, small), m["total"]
+
+        dt = time_loop(run_c, (big, small))
+        print(f"C donate big subtree     {dt:8.2f} ms  ({BATCH / dt * 1000:.2f} img/s)")
     except Exception as e:
         print(f"C donate big subtree     FAILED: {type(e).__name__}: {str(e)[:160]}")
 
