@@ -75,8 +75,12 @@ def build():
     )
     enc_tx, dec_tx = make_optimizer(1e-4), make_optimizer(1e-4)
     state = create_train_state(jax.random.key(3), enc_vars, dec_vars, vq, enc_tx, dec_tx)
-    # NB: no donate_argnums — buffer donation trips an InvalidArgument runtime
-    # error in this environment's TPU PJRT plugin; revisit on real v5e pods.
+    # Buffer donation: supported since the 2026-08 host PJRT upgrade (the old
+    # plugin raised INVALID_ARGUMENT — tools/bench_donation.py tracks this).
+    # The state must be unshared once so no two leaves alias one buffer.
+    from medical_image_editing_tpu.train.state import unshare_buffers
+
+    state = unshare_buffers(state)
     step = jax.jit(
         make_first_stage_step(
             enc,
@@ -86,7 +90,8 @@ def build():
             loss_cfg=FirstStageLossConfig(margin=0.5),
             aug_cfg=AUG,
             dict_size=10,
-        )
+        ),
+        donate_argnums=(0,),
     )
     return state, step
 
@@ -101,10 +106,11 @@ def main():
     platform = require_default_backend(what="bench.py")
     print(f"default backend: {platform}", file=sys.stderr, flush=True)
 
+    edit_metrics = {}
     try:
         from bench_edit import run_edit_benchmarks
 
-        run_edit_benchmarks()
+        edit_metrics = run_edit_benchmarks() or {}
     except Exception as e:  # edit metrics are additive — never break the headline
         print(f"edit benchmarks failed: {e!r}", file=sys.stderr)
 
@@ -135,6 +141,17 @@ def main():
         assert np.isfinite(float(metrics["total"]))
         dt = time.perf_counter() - t0
         imgs_per_sec = max(imgs_per_sec, n_iters * BATCH / dt)
+    # consolidated penultimate line: the driver records only the output tail,
+    # so every metric must survive in the last ~2KB (the per-metric lines
+    # above can scroll out behind XLA warnings)
+    all_metrics = dict(edit_metrics)
+    all_metrics["vqwnet_train_images_per_sec_per_chip_256"] = round(imgs_per_sec, 2)
+    print(
+        json.dumps(
+            {"metric": "all_metrics", "value": all_metrics, "unit": "mixed",
+             "vs_baseline": None}
+        )
+    )
     print(
         json.dumps(
             {

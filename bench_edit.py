@@ -15,7 +15,9 @@ enable_compile_cache()
 
 
 def run_edit_benchmarks(budget_s: float = None):
-    """Measure + print the editing metrics as JSON lines.
+    """Measure + print the editing metrics as JSON lines; returns a
+    {metric: value} dict so bench.py can fold them into its consolidated
+    penultimate line (the driver captures only the output tail).
 
     budget_s (or MEDIMG_BENCH_EDIT_BUDGET, default 1200 s): soft deadline —
     remaining edit phases are skipped once exceeded so the headline training
@@ -26,6 +28,8 @@ def run_edit_benchmarks(budget_s: float = None):
     if budget_s is None:
         budget_s = float(os.environ.get("MEDIMG_BENCH_EDIT_BUDGET", 1200))
     t_start = time.perf_counter()
+
+    metrics = {}
 
     def over_budget(phase):
         if time.perf_counter() - t_start > budget_s:
@@ -70,13 +74,14 @@ def run_edit_benchmarks(budget_s: float = None):
         np.asarray(out)
         lats.append((time.perf_counter() - t0) * 1000)
     p50 = float(np.percentile(lats, 50))
+    metrics["edit_latency_p50_512"] = round(p50, 2)
     print(json.dumps({"metric": "edit_latency_p50_512", "value": round(p50, 2),
                       "unit": "ms/slice", "vs_baseline": None}))
 
     # serving-path latency: uint8 on-device quantization (PNG consumers) —
     # 4× smaller device→host transfer
     if over_budget("uint8 latency + batched throughput"):
-        return
+        return metrics
     edit1_u8 = make_batched_edit_fn(dec, is_lung=True, output_dtype="uint8")
     np.asarray(edit1_u8(dec_vars, vq, ids1))  # compile
     lats = []
@@ -86,6 +91,7 @@ def run_edit_benchmarks(budget_s: float = None):
         np.asarray(out)
         lats.append((time.perf_counter() - t0) * 1000)
     p50u = float(np.percentile(lats, 50))
+    metrics["edit_latency_p50_512_uint8"] = round(p50u, 2)
     print(json.dumps({"metric": "edit_latency_p50_512_uint8",
                       "value": round(p50u, 2),
                       "unit": "ms/slice", "vs_baseline": None}))
@@ -95,7 +101,7 @@ def run_edit_benchmarks(budget_s: float = None):
     # swings a single 5-iteration window by ±30%; peak over short windows is
     # the stable capacity measure on this environment.
     if over_budget("batched throughput"):
-        return
+        return metrics
     edit32 = make_batched_edit_fn(dec, is_lung=True)
     ids32 = jnp.asarray(rng.integers(0, 11, (32, 512, 512)).astype(np.int32))
     np.asarray(edit32(dec_vars, vq, ids32))
@@ -109,13 +115,14 @@ def run_edit_benchmarks(budget_s: float = None):
         np.asarray(out)
         dt = time.perf_counter() - t0
         best = max(best, n * 32 / dt)
+    metrics["edit_throughput_batched32_512"] = round(best, 1)
     print(json.dumps({"metric": "edit_throughput_batched32_512",
                       "value": round(best, 1),
                       "unit": "slices/sec/chip", "vs_baseline": None}))
 
     # uint8 serving variant (PNG/display consumers): 4× less host transfer
     if over_budget("batched uint8 throughput"):
-        return
+        return metrics
     edit32_u8 = make_batched_edit_fn(dec, is_lung=True, output_dtype="uint8")
     np.asarray(edit32_u8(dec_vars, vq, ids32))
     best = 0.0
@@ -126,9 +133,11 @@ def run_edit_benchmarks(budget_s: float = None):
         np.asarray(out)
         dt = time.perf_counter() - t0
         best = max(best, n * 32 / dt)
+    metrics["edit_throughput_batched32_512_uint8"] = round(best, 1)
     print(json.dumps({"metric": "edit_throughput_batched32_512_uint8",
                       "value": round(best, 1),
                       "unit": "slices/sec/chip", "vs_baseline": None}))
+    return metrics
 
 
 def main():
