@@ -163,22 +163,29 @@ def apply_photometric(key, x, cfg) -> jax.Array:
         key, k_p, k_a, k_b = jax.random.split(key, 4)
         sel = None
         if module == "ColorJitter":
+            # kornia 0.5.1 semantics (the behavior later renamed ColorJiggle;
+            # kornia ≥0.6 changed ColorJitter to match torchvision — the
+            # reference pins kornia==0.5.1, requirements.txt:21):
+            #   brightness: factor ~ U(1−b, 1+b), out = clip(x + (factor−1))
+            #               — ADDITIVE, not torchvision's multiplicative
+            #   contrast:   factor ~ U(max(0,1−c), 1+c), out = clip(x·factor)
+            #               — pure scaling, no mean-centering
+            # See docs/augmentation_audit.md for the full semantics audit.
             mcfg = _get(cfg, "ColorJitter")
             apply = _maybe(k_p, float(_get(mcfg, "p", 0.5)), b)
             out = x
             bright = float(_get(mcfg, "brightness", 0.0) or 0.0)
             if bright > 0:
                 f = jax.random.uniform(
-                    k_a, (b, 1, 1, 1), minval=max(0.0, 1.0 - bright), maxval=1.0 + bright
+                    k_a, (b, 1, 1, 1), minval=-bright, maxval=bright
                 )
-                out = jnp.clip(out * f, 0.0, 1.0)
+                out = jnp.clip(out + f, 0.0, 1.0)
             contrast = float(_get(mcfg, "contrast", 0.0) or 0.0)
             if contrast > 0:
                 f = jax.random.uniform(
                     k_b, (b, 1, 1, 1), minval=max(0.0, 1.0 - contrast), maxval=1.0 + contrast
                 )
-                mean = jnp.mean(out, axis=(1, 2, 3), keepdims=True)
-                out = jnp.clip((out - mean) * f + mean, 0.0, 1.0)
+                out = jnp.clip(out * f, 0.0, 1.0)
             # saturation/hue: no-ops on grayscale inputs (see module docstring)
             sel = out
         elif module == "RandomGaussianBlur":
