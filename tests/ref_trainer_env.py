@@ -1,0 +1,613 @@
+"""Shim environment that lets the REFERENCE trainers execute verbatim.
+
+VERDICT r2 Weak #2: the golden trainer-parity tests transcribed the reference
+trainer math in torch rather than running `SingleWindowTrainer` et al. from
+`/root/reference/src` — a shared misreading would pass both sides. This module
+closes that: it installs minimal stand-ins for the reference's missing
+dependencies (pytorch_lightning, torchmetrics, focal_frequency_loss, kornia,
+nibabel, lpips, torchvision, kmeans_pytorch — SURVEY.md documents the
+requirements drift) and imports the reference's own `trainers` package so
+tests can call the REAL `training_step` per branch.
+
+Shim fidelity notes (everything the executed code paths actually touch):
+  * pytorch_lightning.LightningModule — only the manual-optimization surface
+    the trainers use: `optimizers()` (returns `configure_optimizers()[0]`),
+    `manual_backward` (= `loss.backward()`), `log` (records to `.logged`),
+    `global_step`/`current_epoch`/`global_rank` counters, and a `trainer`
+    stub with `is_global_zero=False` so the matplotlib/Slack snapshot blocks
+    are skipped (spec: `single_window_trainer.py:161,378`).
+  * focal_frequency_loss.FocalFrequencyLoss — faithful torch implementation
+    of the pip package (v0.3.0 defaults: patch_factor=1, ave_spectrum=False,
+    log_matrix=False, batch_matrix=False): ortho fft2, spectrum weight
+    sqrt(d)^alpha max-normalized per (sample, channel), detached, clamped.
+  * kornia — `color.RgbToGrayscale` (ITU-601 weights), the augmentation
+    classes `RandomTransform`/`dataio.transforms` construct (kornia 0.5.1
+    semantics per docs/augmentation_audit.md), and
+    `geometry.transform.warp_perspective` on `F.affine_grid`/`grid_sample`
+    with align_corners=True (proven equivalent in
+    tests/test_warp_torch_parity.py).
+  * torchmetrics / lpips / nibabel / torchvision.utils / slack pieces —
+    import-time stubs that raise with a clear message if actually called
+    (the executed training paths never call them).
+
+The reference's own code is imported READ-ONLY and never copied.
+"""
+
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+
+REF_SRC = "/root/reference/src"
+
+os.environ.setdefault("MPLBACKEND", "Agg")
+
+
+# ---------------------------------------------------------------------------
+# pytorch_lightning
+# ---------------------------------------------------------------------------
+
+
+def _install_pl():
+    if "pytorch_lightning" in sys.modules:
+        return
+    import torch
+
+    class _TrainerStub:
+        is_global_zero = False
+
+    class LightningModule(torch.nn.Module):
+        """The slice of the Lightning API the reference trainers consume."""
+
+        def __init__(self):
+            super().__init__()
+            self.automatic_optimization = True
+            self.global_step = 0
+            self.current_epoch = 0
+            self.global_rank = 0
+            self.trainer = _TrainerStub()
+            self.logged = {}
+            self._cached_optimizers = None
+
+        def log(self, name, value, **kwargs):
+            try:
+                self.logged[name] = float(value)
+            except (TypeError, ValueError):
+                self.logged[name] = value
+
+        def optimizers(self):
+            if self._cached_optimizers is None:
+                out = self.configure_optimizers()
+                self._cached_optimizers = out[0] if isinstance(out, tuple) else out
+            return self._cached_optimizers
+
+        def manual_backward(self, loss):
+            loss.backward()
+
+    def rank_zero_only(fn):
+        return fn
+
+    def rank_zero_experiment(fn):
+        return fn
+
+    def seed_everything(seed):
+        import random
+
+        random.seed(seed)
+        np.random.seed(seed)
+        torch.manual_seed(seed)
+        return seed
+
+    class Callback:
+        pass
+
+    class ModelCheckpoint:
+        def __init__(self, *args, **kwargs):
+            pass
+
+    class LightningLoggerBase:
+        def __init__(self, *args, **kwargs):
+            pass
+
+    pl = types.ModuleType("pytorch_lightning")
+    pl.LightningModule = LightningModule
+    pl.seed_everything = seed_everything
+    pl.Callback = Callback
+
+    utilities = types.ModuleType("pytorch_lightning.utilities")
+    utilities.rank_zero_only = rank_zero_only
+    cloud_io = types.ModuleType("pytorch_lightning.utilities.cloud_io")
+    cloud_io.get_filesystem = lambda path: None
+    utilities.cloud_io = cloud_io
+    distributed = types.ModuleType("pytorch_lightning.utilities.distributed")
+    distributed.rank_zero_only = rank_zero_only
+    utilities.distributed = distributed
+
+    loggers = types.ModuleType("pytorch_lightning.loggers")
+    loggers.LightningLoggerBase = LightningLoggerBase
+    loggers_base = types.ModuleType("pytorch_lightning.loggers.base")
+    loggers_base.LightningLoggerBase = LightningLoggerBase
+    loggers_base.rank_zero_experiment = rank_zero_experiment
+    loggers.base = loggers_base
+
+    callbacks = types.ModuleType("pytorch_lightning.callbacks")
+    callbacks.ModelCheckpoint = ModelCheckpoint
+    callbacks.Callback = Callback
+
+    pl.utilities = utilities
+    pl.loggers = loggers
+    pl.callbacks = callbacks
+    sys.modules["pytorch_lightning"] = pl
+    sys.modules["pytorch_lightning.utilities"] = utilities
+    sys.modules["pytorch_lightning.utilities.cloud_io"] = cloud_io
+    sys.modules["pytorch_lightning.utilities.distributed"] = distributed
+    sys.modules["pytorch_lightning.loggers"] = loggers
+    sys.modules["pytorch_lightning.loggers.base"] = loggers_base
+    sys.modules["pytorch_lightning.callbacks"] = callbacks
+
+
+# ---------------------------------------------------------------------------
+# torchmetrics / lpips / nibabel / torchvision / kmeans_pytorch — raise-on-use
+# ---------------------------------------------------------------------------
+
+
+def _raiser(name):
+    class _Stub:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):  # pragma: no cover - guard
+            raise NotImplementedError(
+                f"{name} is a ref_trainer_env stub; the executed reference "
+                "code paths must not call it"
+            )
+
+    return _Stub
+
+
+def _install_misc():
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+        tm.MeanSquaredError = _raiser("torchmetrics.MeanSquaredError")
+        tm.StructuralSimilarityIndexMeasure = _raiser("torchmetrics.SSIM")
+        tm.PeakSignalNoiseRatio = _raiser("torchmetrics.PSNR")
+        sys.modules["torchmetrics"] = tm
+    if "lpips" not in sys.modules:
+        lp = types.ModuleType("lpips")
+        lp.LPIPS = _raiser("lpips.LPIPS")
+        sys.modules["lpips"] = lp
+    if "nibabel" not in sys.modules:
+        nib = types.ModuleType("nibabel")
+        nib.Nifti1Image = _raiser("nibabel.Nifti1Image")
+        nib.load = _raiser("nibabel.load")()
+        nib.save = _raiser("nibabel.save")()
+        sys.modules["nibabel"] = nib
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_utils = types.ModuleType("torchvision.utils")
+        tv_utils.save_image = _raiser("torchvision.utils.save_image")()
+        tv.utils = tv_utils
+
+        class _Compose:
+            def __init__(self, fns):
+                self.fns = fns
+
+            def __call__(self, sample):
+                for fn in self.fns:
+                    sample = fn(sample)
+                return sample
+
+        tv_transforms = types.ModuleType("torchvision.transforms")
+        tv_transforms.Compose = _Compose
+        tv.transforms = tv_transforms
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tv_utils
+        sys.modules["torchvision.transforms"] = tv_transforms
+    if "kmeans_pytorch" not in sys.modules:
+        km = types.ModuleType("kmeans_pytorch")
+        km.kmeans = _raiser("kmeans_pytorch.kmeans")()
+        sys.modules["kmeans_pytorch"] = km
+
+
+# ---------------------------------------------------------------------------
+# focal_frequency_loss — faithful torch implementation of the pip package
+# ---------------------------------------------------------------------------
+
+
+def _install_ffl():
+    if "focal_frequency_loss" in sys.modules:
+        return
+    import torch
+
+    class FocalFrequencyLoss(torch.nn.Module):
+        """focal-frequency-loss==0.3.0 semantics (Jiang et al., ICCV'21) at
+        the reference's operating point `FFL(loss_weight=1.0, alpha=1.0)`
+        (`trainers/base.py:277-278`): ortho-normalized fft2 per channel,
+        spectrum weight = sqrt(|Fp−Ft|²)^alpha normalized by its per-(b,c)
+        max, nan→0, clamped to [0,1], detached; loss = mean(w·d)·loss_weight.
+        patch_factor=1 / ave_spectrum=False / batch_matrix=False defaults.
+        """
+
+        def __init__(self, loss_weight=1.0, alpha=1.0, log_matrix=False):
+            super().__init__()
+            self.loss_weight = loss_weight
+            self.alpha = alpha
+            self.log_matrix = log_matrix
+
+        def forward(self, pred, target):
+            fp = torch.fft.fft2(pred.float(), norm="ortho")
+            ft = torch.fft.fft2(target.float(), norm="ortho")
+            diff = fp - ft
+            dist = diff.real**2 + diff.imag**2  # (B,C,H,W)
+            w = torch.sqrt(dist) ** self.alpha
+            if self.log_matrix:
+                w = torch.log(w + 1.0)
+            wmax = w.amax(dim=(-2, -1), keepdim=True)
+            w = torch.where(wmax > 0, w / wmax, torch.zeros_like(w))
+            w = torch.nan_to_num(w).clamp(0.0, 1.0).detach()
+            return (w * dist).mean() * self.loss_weight
+
+    mod = types.ModuleType("focal_frequency_loss")
+    mod.FocalFrequencyLoss = FocalFrequencyLoss
+    sys.modules["focal_frequency_loss"] = mod
+
+
+# ---------------------------------------------------------------------------
+# kornia — 0.5.1 semantics per docs/augmentation_audit.md
+# ---------------------------------------------------------------------------
+
+
+def _install_kornia():
+    if "kornia" in sys.modules:
+        return
+    import torch
+    import torch.nn.functional as F
+
+    def warp_perspective(x, mats, dsize, mode="bilinear"):
+        """kornia 0.5.1 warp: dst→src sampling of M (src→dst pixel matrices)
+        through align_corners=True normalized coordinates — the exact
+        conjugation proven against our ops/warp.py in
+        tests/test_warp_torch_parity.py."""
+        h, w = dsize
+        b, c = x.shape[0], x.shape[1]
+        m_inv = torch.linalg.inv(mats.double())
+        a = torch.tensor(
+            [[2.0 / (w - 1), 0.0, -1.0], [0.0, 2.0 / (h - 1), -1.0], [0.0, 0.0, 1.0]],
+            dtype=torch.float64,
+        )
+        theta = (a @ m_inv @ torch.linalg.inv(a))[:, :2, :].float()
+        grid = F.affine_grid(theta, (b, c, h, w), align_corners=True)
+        return F.grid_sample(
+            x, grid, mode=mode, padding_mode="zeros", align_corners=True
+        )
+
+    def _hflip_mat(b, w, device):
+        m = torch.eye(3, device=device).repeat(b, 1, 1)
+        m[:, 0, 0] = -1.0
+        m[:, 0, 2] = float(w - 1)
+        return m
+
+    class _Aug(torch.nn.Module):
+        def __init__(self, p=0.5, return_transform=False):
+            super().__init__()
+            self.p = p
+            self.return_transform = return_transform
+
+        def _applies(self, b, device):
+            return torch.rand(b, device=device) < self.p
+
+    class RandomHorizontalFlip(_Aug):
+        def forward(self, x):
+            b, _, _, w = x.shape
+            sel = self._applies(b, x.device)
+            out = torch.where(sel[:, None, None, None], x.flip(-1), x)
+            trans = torch.eye(3, device=x.device).repeat(b, 1, 1)
+            flip = _hflip_mat(b, w, x.device)
+            trans = torch.where(sel[:, None, None], flip, trans)
+            if self.return_transform:
+                return out, trans
+            return out
+
+    class RandomAffine(_Aug):
+        """kornia 0.5.1 sampling (audit §2): angle~U(−d,d);
+        translate (a,b) → t~U(−aW,aW)×U(−bH,bH) un-rounded; scalar shear →
+        shear_x~U(−s,s), shear_y=0; rotation/scale about ((W−1)/2,(H−1)/2)
+        with the OpenCV linear part [[cos, sin],[−sin, cos]]."""
+
+        def __init__(self, degrees=0.0, translate=None, scale=None, shear=None,
+                     p=0.5, return_transform=False):
+            super().__init__(p=p, return_transform=return_transform)
+            self.degrees = degrees
+            self.translate = translate
+            self.scale = scale
+            self.shear = shear
+
+        def forward(self, x):
+            b, _, h, w = x.shape
+            device = x.device
+            d = self.degrees
+            lo, hi = (-d, d) if not isinstance(d, (tuple, list)) else d
+            ang = torch.empty(b).uniform_(lo, hi) * torch.pi / 180.0
+            if self.scale is not None:
+                s = torch.empty(b).uniform_(self.scale[0], self.scale[1])
+            else:
+                s = torch.ones(b)
+            cos, sin = s * torch.cos(ang), s * torch.sin(ang)
+            lin = torch.stack(
+                [torch.stack([cos, sin], -1), torch.stack([-sin, cos], -1)], 1
+            )  # (b,2,2)
+            if self.shear is not None:
+                sh = self.shear
+                shx = torch.empty(b).uniform_(-sh, sh) * torch.pi / 180.0 \
+                    if not isinstance(sh, (tuple, list)) else \
+                    torch.empty(b).uniform_(sh[0], sh[1]) * torch.pi / 180.0
+                shear_m = torch.eye(2).repeat(b, 1, 1)
+                shear_m[:, 0, 1] = torch.tan(shx)
+                lin = lin @ shear_m
+            cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+            center = torch.tensor([cx, cy])
+            offset = center - (lin @ center)
+            if self.translate is not None:
+                tx = torch.empty(b).uniform_(-1, 1) * self.translate[0] * w
+                ty = torch.empty(b).uniform_(-1, 1) * self.translate[1] * h
+                offset = offset + torch.stack([tx, ty], -1)
+            m = torch.eye(3).repeat(b, 1, 1)
+            m[:, :2, :2] = lin
+            m[:, :2, 2] = offset
+            sel = self._applies(b, device)
+            eye = torch.eye(3).repeat(b, 1, 1)
+            m = torch.where(sel[:, None, None], m, eye).to(device)
+            out = warp_perspective(x, m, (h, w), mode="bilinear")
+            if self.return_transform:
+                return out, m
+            return out
+
+    class ColorJitter(_Aug):
+        """kornia 0.5.1 / ColorJiggle semantics (audit §3): brightness is
+        ADDITIVE clip(x + U(−b,b)); contrast is pure scaling clip(x·f) with
+        f~U(max(0,1−c),1+c); saturation/hue are no-ops on replicated-gray."""
+
+        def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0,
+                     hue=0.0, p=0.5, return_transform=False):
+            super().__init__(p=p, return_transform=return_transform)
+            self.brightness = brightness
+            self.contrast = contrast
+
+        def forward(self, x):
+            b = x.shape[0]
+            out = x
+            if self.brightness:
+                f = torch.empty(b, 1, 1, 1).uniform_(-self.brightness, self.brightness)
+                out = (out + f.to(x.device)).clamp(0, 1)
+            if self.contrast:
+                f = torch.empty(b, 1, 1, 1).uniform_(
+                    max(0.0, 1.0 - self.contrast), 1.0 + self.contrast
+                )
+                out = (out * f.to(x.device)).clamp(0, 1)
+            sel = self._applies(b, x.device)
+            return torch.where(sel[:, None, None, None], out, x)
+
+    class RandomGaussianBlur(_Aug):
+        def __init__(self, kernel_size, sigma, p=0.5, return_transform=False):
+            super().__init__(p=p, return_transform=return_transform)
+            self.k = kernel_size[0] if isinstance(kernel_size, (tuple, list)) else kernel_size
+            self.sigma = sigma[0] if isinstance(sigma, (tuple, list)) else sigma
+
+        def forward(self, x):
+            k, sig = self.k, self.sigma
+            ax = torch.arange(k, dtype=torch.float32) - (k - 1) / 2.0
+            g = torch.exp(-(ax**2) / (2 * sig * sig))
+            g = (g / g.sum()).to(x.device)
+            c = x.shape[1]
+            pad = k // 2
+            xp = F.pad(x, (pad, pad, pad, pad), mode="reflect")
+            blurred = F.conv2d(xp, g.view(1, 1, 1, k).repeat(c, 1, 1, 1), groups=c)
+            blurred = F.conv2d(blurred, g.view(1, 1, k, 1).repeat(c, 1, 1, 1), groups=c)
+            sel = self._applies(x.shape[0], x.device)
+            return torch.where(sel[:, None, None, None], blurred, x)
+
+    class RandomPosterize(_Aug):
+        def __init__(self, bits, p=0.5, return_transform=False):
+            super().__init__(p=p, return_transform=return_transform)
+            self.bits = int(bits)
+
+        def forward(self, x):
+            keep = 2 ** (8 - self.bits)
+            q = torch.floor(x * 255.0 / keep) * keep / 255.0
+            sel = self._applies(x.shape[0], x.device)
+            return torch.where(sel[:, None, None, None], q, x)
+
+    class RandomGaussianNoise(_Aug):
+        def __init__(self, std=1.0, mean=0.0, p=0.5, return_transform=False):
+            super().__init__(p=p, return_transform=return_transform)
+            self.std = std
+            self.mean = mean
+
+        def forward(self, x):
+            noise = torch.randn_like(x) * self.std + self.mean
+            sel = self._applies(x.shape[0], x.device)
+            return torch.where(sel[:, None, None, None], x + noise, x)
+
+    class RgbToGrayscale(torch.nn.Module):
+        def forward(self, x):
+            r, g, b = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+            return 0.299 * r + 0.587 * g + 0.114 * b
+
+    kornia = types.ModuleType("kornia")
+    augmentation = types.ModuleType("kornia.augmentation")
+    for cls in (RandomHorizontalFlip, RandomAffine, ColorJitter,
+                RandomGaussianBlur, RandomPosterize, RandomGaussianNoise):
+        setattr(augmentation, cls.__name__, cls)
+    color = types.ModuleType("kornia.color")
+    color.RgbToGrayscale = RgbToGrayscale
+    geometry = types.ModuleType("kornia.geometry")
+    transform = types.ModuleType("kornia.geometry.transform")
+    transform.warp_perspective = warp_perspective
+    geometry.transform = transform
+    kornia.augmentation = augmentation
+    kornia.color = color
+    kornia.geometry = geometry
+    sys.modules["kornia"] = kornia
+    sys.modules["kornia.augmentation"] = augmentation
+    sys.modules["kornia.color"] = color
+    sys.modules["kornia.geometry"] = geometry
+    sys.modules["kornia.geometry.transform"] = transform
+
+
+# ---------------------------------------------------------------------------
+# loading the real reference packages
+# ---------------------------------------------------------------------------
+
+_REF_FLAT_MODULES = ("utils", "functions", "networks", "dataio", "trainers")
+
+
+def _purge_non_reference(name):
+    """parity_helpers installs bare ModuleType stubs for some reference
+    modules ('utils', fake 'networks'/'functions' packages that skip their
+    __init__). The real trainers need the REAL packages — purge any entry for
+    `name` (and its submodules) whose file doesn't live under REF_SRC."""
+    mod = sys.modules.get(name)
+    if mod is None:
+        return
+    f = getattr(mod, "__file__", None)
+    ran_init = f is not None and os.path.abspath(f).startswith(REF_SRC)
+    if ran_init:
+        return
+    for key in [k for k in sys.modules if k == name or k.startswith(name + ".")]:
+        del sys.modules[key]
+
+
+def load_reference_trainers():
+    """Install all shims and return the reference's `trainers` package."""
+    _install_pl()
+    _install_misc()
+    _install_ffl()
+    _install_kornia()
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    for name in _REF_FLAT_MODULES:
+        _purge_non_reference(name)
+    return importlib.import_module("trainers")
+
+
+class grayscale_unet_dis_arch:
+    """Context manager: make the reference's Unet_Discriminator usable on
+    grayscale input at resolution 128/256 for the duration of trainer
+    construction.
+
+    Two reference quirks (its UNetDiscriminator path only actually works at
+    resolution 512, the paper's lung/CRC operating point):
+      * `D_unet_arch` hardcodes the first in_channels to 3 at 128/256
+        (`unet_discriminator.py:358,367`) — feeding the 1-channel CT recon
+        would crash torch; patch the table to honor the requested channels
+        (same patch the transplant-parity tests apply).
+      * `output_features` (the feature-matching taps) is only defined for 512
+        (`:424-428`) and `forward` crashes otherwise (`:594`); `fix` fills in
+        the up-block indexes, matching what ours computes by construction.
+    """
+
+    def __enter__(self):
+        self._mod = sys.modules["networks.unet_discriminator"]
+        self._orig = self._mod.D_unet_arch
+
+        def patched(in_ch, ch=64, attention="64", **kw):
+            arch = self._orig(in_ch, ch, attention, **kw)
+            arch[128]["in_channels"][0] = in_ch
+            arch[256]["in_channels"][0] = in_ch
+            return arch
+
+        self._mod.D_unet_arch = patched
+        return self
+
+    def __exit__(self, *exc):
+        self._mod.D_unet_arch = self._orig
+
+    @staticmethod
+    def fix(tdis):
+        if not hasattr(tdis, "output_features"):
+            n = len(tdis.arch["out_channels"])
+            n_down = sum(tdis.arch["downsample"])
+            tdis.output_features = list(range(n_down, n))
+        return tdis
+
+
+# ---------------------------------------------------------------------------
+# config scaffolding
+# ---------------------------------------------------------------------------
+
+
+class NS(types.SimpleNamespace):
+    """Attribute-access config node (the reference uses recursive namedtuples;
+    `getattr_else_none`/`hasattr` behave identically on SimpleNamespace)."""
+
+
+def make_ref_config(
+    *,
+    training_mode="first_step",
+    dict_size=5,
+    filters=(4, 8, 16, 32, 64),
+    dis_model="NLayerDiscriminator",
+    image_size=(32, 32),
+    loss_weights=None,
+    use_l1_loss=False,
+    use_frequency_loss=True,
+    use_unet_perceptual_loss=True,
+    n_inner_loops=1,
+    aug_modules=(),
+    momentum=0.99,
+    lr=1e-4,
+):
+    w = dict(
+        commit=1.0, cross=0.5, dist=0.25, reg=0.125, recon=1.0, freq=0.5,
+        perceptual=0.0, gen=0.25, unet_perceptual=0.125, dis=1.0, cutmix=0.5,
+        consistency=0.25,
+    )
+    if loss_weights:
+        w.update(loss_weights)
+    aug = NS(modules=list(aug_modules))
+    aug.RandomHorizontalFlip = NS(p=1.0)
+    optim = dict(lr=lr, b1=0.9, b2=0.999, weight_decay=0.0)
+    return NS(
+        run=NS(training_mode=training_mode, num_gpus=1),
+        dataset=NS(dataset_name="CRCDataset", image_size=list(image_size)),
+        model=NS(
+            vqmodel=NS(
+                in_channels=1, enc_filters=list(filters),
+                dec_filters=list(filters), dict_size=dict_size,
+                momentum=momentum, knn_backend="torch",
+                enc_use_styled_up_block=False, dec_use_styled_up_block=True,
+                use_init_embed=False, use_dropblock=False, block_size=3,
+                start_value=0.0, stop_value=0.1, nr_steps=10,
+                dropped_skip_layers=[], use_pixel_shuffle=False,
+            ),
+            dis=NS(
+                model_name=dis_model, D_ch=8, D_wide=True, D_attn="64",
+                resolution=image_size[0], n_filters=8, n_layers=3,
+                normalization="instancenorm", apply_spectral_norm=False,
+            ),
+        ),
+        loss=NS(
+            loss_weight=NS(**w),
+            embed_loss=NS(margin=0.5, use_distance_loss=True,
+                          use_regularization_loss=True),
+            use_recon_loss=True, use_l1_loss=use_l1_loss,
+            use_frequency_loss=use_frequency_loss,
+            use_perceptual_loss=False, perceptual_loss_type=None,
+            use_unet_perceptual_loss=use_unet_perceptual_loss,
+            dis_loss_type="hinge_d_loss", n_inner_loops=n_inner_loops,
+        ),
+        enc_optim=NS(**optim), dec_optim=NS(**optim), dis_optim=NS(**optim),
+        augmentation=aug,
+    )
+
+
+def trainer_state_dict(trainer):
+    """Owning-numpy snapshot of every torch parameter/buffer, keyed like a
+    Lightning checkpoint ('encoder.…', 'decoder.…', 'dis.…') so our
+    torch_import bridge consumes it directly."""
+    return {
+        k: np.array(v.detach().cpu().numpy(), copy=True)
+        for k, v in trainer.state_dict().items()
+    }
