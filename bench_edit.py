@@ -96,6 +96,25 @@ def run_edit_benchmarks(budget_s: float = None):
                       "value": round(p50u, 2),
                       "unit": "ms/slice", "vs_baseline": None}))
 
+    # int8 serving decode (VERDICT r2 item 6): every decoder conv on the
+    # MXU's s8×s8→s32 path (ops/quantized_conv.py); v5e's int8 MXU rate is
+    # ~2× bf16, accuracy cost pinned in tests/test_quantized_conv.py.
+    if over_budget("int8 latency"):
+        return metrics
+    edit1_i8 = make_batched_edit_fn(dec, is_lung=True, quantize="int8")
+    np.asarray(edit1_i8(dec_vars, vq, ids1))  # compile
+    lats = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        out = edit1_i8(dec_vars, vq, ids1)
+        np.asarray(out)
+        lats.append((time.perf_counter() - t0) * 1000)
+    p50i = float(np.percentile(lats, 50))
+    metrics["edit_latency_p50_512_int8"] = round(p50i, 2)
+    print(json.dumps({"metric": "edit_latency_p50_512_int8",
+                      "value": round(p50i, 2),
+                      "unit": "ms/slice", "vs_baseline": None}))
+
     # batched 32-slice editing throughput (BASELINE config #3).
     # best-of-3 repeats: the axon tunnel adds multi-ms scheduling noise that
     # swings a single 5-iteration window by ±30%; peak over short windows is
@@ -135,6 +154,25 @@ def run_edit_benchmarks(budget_s: float = None):
         best = max(best, n * 32 / dt)
     metrics["edit_throughput_batched32_512_uint8"] = round(best, 1)
     print(json.dumps({"metric": "edit_throughput_batched32_512_uint8",
+                      "value": round(best, 1),
+                      "unit": "slices/sec/chip", "vs_baseline": None}))
+
+    # batched int8 throughput (compute-bound regime — where the s8 MXU rate
+    # actually shows, if it shows; single-slice is transfer/dispatch-heavy)
+    if over_budget("batched int8 throughput"):
+        return metrics
+    edit32_i8 = make_batched_edit_fn(dec, is_lung=True, quantize="int8")
+    np.asarray(edit32_i8(dec_vars, vq, ids32))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = edit32_i8(dec_vars, vq, ids32)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        best = max(best, n * 32 / dt)
+    metrics["edit_throughput_batched32_512_int8"] = round(best, 1)
+    print(json.dumps({"metric": "edit_throughput_batched32_512_int8",
                       "value": round(best, 1),
                       "unit": "slices/sec/chip", "vs_baseline": None}))
     return metrics

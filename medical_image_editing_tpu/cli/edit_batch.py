@@ -29,6 +29,7 @@ def make_batched_edit_fn(
     mesh=None,
     partition: str = "data",
     output_dtype=None,
+    quantize=None,
 ):
     """Returns edit(dec_vars, vq_state, id_maps (B,H,W) int32) → recon (B,H,W).
 
@@ -50,7 +51,14 @@ def make_batched_edit_fn(
     output_dtype="uint8" quantizes [-1,1]→[0,255] ON DEVICE: display/PNG
     consumers need uint8 anyway, and the 4×-smaller device→host transfer
     cuts measured p50 edit latency ~13% at 512² (PERF.md).
+
+    quantize="int8" runs every decoder conv on the MXU's s8×s8→s32 path
+    (dynamic per-input-channel activation scales folded into per-output-
+    channel weight scales — ops/quantized_conv.py); same checkpoint,
+    serving-time choice. Accuracy vs f32/bf16 pinned in
+    tests/test_quantized_conv.py, latency in PERF.md.
     """
+    from ..ops.quantized_conv import quantize_convs
 
     def edit(dec_vars, vq_state, id_maps):
         ids = id_maps.astype(jnp.int32)
@@ -65,7 +73,8 @@ def make_batched_edit_fn(
         )
         embed = embed * per_slice[:, None, None, None]
 
-        recon = decoder.apply(dec_vars, embed, False)
+        with quantize_convs(quantize):
+            recon = decoder.apply(dec_vars, embed, False)
         if is_lung:
             dw, dc, s = dataset_window
             hu = denormalize(recon, dw, dc, s)
@@ -110,6 +119,7 @@ def edit_study(
     dataset_window=(4096, 0.0, 2.0),
     mesh=None,
     partition: str = "data",
+    quantize=None,
 ):
     """Full-study pipeline: every `label_*.nii.gz` under label_dir → decoded
     `edited_*.nii.gz` under out_dir, batched `batch_size` slices per dispatch."""
@@ -122,7 +132,7 @@ def edit_study(
         return []
     edit = make_batched_edit_fn(
         decoder, is_lung=is_lung, dataset_window=dataset_window, mesh=mesh,
-        partition=partition,
+        partition=partition, quantize=quantize,
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -169,9 +179,10 @@ def main(argv=None):
                         help="shard each dispatch over all local devices: "
                         "'data' = batch axis (throughput), 'spatial' = image "
                         "rows via GSPMD halo-exchanged convs (latency)")
-    parser.add_argument("--dtype", choices=["f32", "bf16"], default=None,
+    parser.add_argument("--dtype", choices=["f32", "bf16", "int8"], default=None,
                         help="decode compute dtype (bf16 cuts TPU edit "
-                             "latency; params/checkpoints stay f32)")
+                             "latency; int8 runs the convs on the MXU's "
+                             "s8 path; params/checkpoints stay f32)")
     args = parser.parse_args(argv)
 
     from . import cli_setup
@@ -189,7 +200,8 @@ def main(argv=None):
 
     config = LungConfig() if args.config == "lung" else CRCConfig()
     if args.dtype:
-        config.compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.dtype]
+        config.compute_dtype = {"f32": None, "bf16": "bfloat16",
+                                "int8": None}[args.dtype]
     _, decoder, state = load_model(config)
     written = edit_study(
         decoder, state, args.label_dir, args.out_dir,
@@ -199,6 +211,7 @@ def main(argv=None):
                         config.window_scale),
         mesh=mesh,
         partition="data" if args.partition == "none" else args.partition,
+        quantize="int8" if args.dtype == "int8" else None,
     )
     print(f"{len(written)} edited volumes -> {args.out_dir}")
     return 0

@@ -74,25 +74,48 @@ class UpBlock3D(nn.Module):
         return DoubleConv3D(self.features, dtype=self.dtype)(x)
 
 
+def _blocks(use_remat: bool):
+    """Per-block rematerialization seam (the 128³ memory plan, PERF.md):
+    `nn.remat` drops each block's internal activations on the forward pass and
+    recomputes them during backward — peak HBM then scales with the number of
+    LEVELS' boundary tensors instead of every conv's output. `nn.remat`
+    renames the wrapped class ("CheckpointResBlock3D"), which would silently
+    change param paths AND init RNG streams — so the U-Nets below pass the
+    plain classes' auto-names explicitly, keeping remat a runtime choice, not
+    a checkpoint-format choice (pinned by
+    tests/test_volumetric.py::test_volumetric_remat_matches_plain)."""
+    if use_remat:
+        return nn.remat(ResBlock3D), nn.remat(DoubleConv3D), nn.remat(UpBlock3D)
+    return ResBlock3D, DoubleConv3D, UpBlock3D
+
+
+def _unet3d_body(mod, x):
+    """Shared encoder/decoder U-Net body with remat-stable explicit names
+    (matching the auto-names flax would generate without remat)."""
+    Res, Double, Up = _blocks(mod.use_remat)
+    f = mod.filters
+    n = len(f) - 1
+    x = x.astype(mod.dtype or x.dtype)
+    skips = []
+    for i in range(n):
+        x, skip = Res(f[i], dtype=mod.dtype, name=f"ResBlock3D_{i}")(x)
+        skips.append(skip)
+    x = Double(f[n], dtype=mod.dtype, name="DoubleConv3D_0")(x)
+    for j, i in enumerate(reversed(range(n))):
+        x = Up(f[i], dtype=mod.dtype, name=f"UpBlock3D_{j}")(x, skips[i])
+    return x
+
+
 class VolumetricUNetEncoder(nn.Module):
     """x (B,D,H,W,in) → features (B,D,H,W,filters[0])."""
 
     filters: Sequence[int] = (8, 16, 32, 64)
     dtype: Optional[object] = None
+    use_remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        f = self.filters
-        n = len(f) - 1
-        x = x.astype(self.dtype or x.dtype)
-        skips = []
-        for i in range(n):
-            x, skip = ResBlock3D(f[i], dtype=self.dtype)(x)
-            skips.append(skip)
-        x = DoubleConv3D(f[n], dtype=self.dtype)(x)
-        for i in reversed(range(n)):
-            x = UpBlock3D(f[i], dtype=self.dtype)(x, skips[i])
-        return x
+        return _unet3d_body(self, x)
 
 
 class VolumetricUNetDecoder(nn.Module):
@@ -101,19 +124,11 @@ class VolumetricUNetDecoder(nn.Module):
     out_channels: int = 1
     filters: Sequence[int] = (8, 16, 32, 64)
     dtype: Optional[object] = None
+    use_remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        f = self.filters
-        n = len(f) - 1
-        x = x.astype(self.dtype or x.dtype)
-        skips = []
-        for i in range(n):
-            x, skip = ResBlock3D(f[i], dtype=self.dtype)(x)
-            skips.append(skip)
-        x = DoubleConv3D(f[n], dtype=self.dtype)(x)
-        for i in reversed(range(n)):
-            x = UpBlock3D(f[i], dtype=self.dtype)(x, skips[i])
+        x = _unet3d_body(self, x)
         x = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype)(x)
         return jnp.tanh(x.astype(jnp.float32))
 

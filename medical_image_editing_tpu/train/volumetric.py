@@ -86,13 +86,19 @@ def make_volumetric_train_step(
 
 
 def init_volumetric(key, *, filters=(8, 16, 32, 64), dict_size: int = 10,
-                    volume_shape=(1, 16, 16, 16, 1), lr: float = 1e-4):
-    """Build encoder/decoder/vq + optimizers for the 3-D model."""
+                    volume_shape=(1, 16, 16, 16, 1), lr: float = 1e-4,
+                    dtype=None, use_remat: bool = False):
+    """Build encoder/decoder/vq + optimizers for the 3-D model.
+
+    `dtype=jnp.bfloat16` + `use_remat=True` is the 128³-on-one-chip memory
+    plan (PERF.md): bf16 halves every activation, per-block remat drops the
+    intra-block ones entirely."""
     from ..ops.vq import vq_init
     from .state import make_optimizer
 
-    enc = VolumetricUNetEncoder(filters=filters)
-    dec = VolumetricUNetDecoder(out_channels=volume_shape[-1], filters=filters)
+    enc = VolumetricUNetEncoder(filters=filters, dtype=dtype, use_remat=use_remat)
+    dec = VolumetricUNetDecoder(out_channels=volume_shape[-1], filters=filters,
+                                dtype=dtype, use_remat=use_remat)
     k0, k1, k2 = jax.random.split(key, 3)
     x0 = jnp.zeros(volume_shape, jnp.float32)
     enc_vars = enc.init(k0, x0, train=False)

@@ -47,6 +47,48 @@ def test_volumetric_train_step_single_device(rng):
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+def test_volumetric_remat_matches_plain(rng):
+    """`use_remat=True` (the 128³ memory plan's seam, PERF.md) must change
+    peak memory only, never values: same init (param trees identical leaf by
+    leaf) and the same one-step metrics/updated params as the plain model."""
+    enc, dec, ev, dv, vq, etx, dtx = init_volumetric(
+        jax.random.key(0), filters=FILTERS, dict_size=5, volume_shape=SHAPE)
+    enc_r, dec_r, ev_r, dv_r, vq_r, etx_r, dtx_r = init_volumetric(
+        jax.random.key(0), filters=FILTERS, dict_size=5, volume_shape=SHAPE,
+        use_remat=True)
+
+    for a, b in zip(jax.tree.leaves(ev), jax.tree.leaves(ev_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(dv), jax.tree.leaves(dv_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    vol = jnp.asarray(rng.uniform(-1, 1, SHAPE).astype(np.float32))
+    eo, do = etx.init(ev["params"]), dtx.init(dv["params"])
+    out = make_volumetric_train_step(enc, dec, etx, dtx)(ev, dv, vq, eo, do, vol)
+    out_r = make_volumetric_train_step(enc_r, dec_r, etx_r, dtx_r)(
+        ev_r, dv_r, vq_r, eo, do, vol)
+
+    for k in ("total", "recon", "commit"):
+        np.testing.assert_allclose(float(out[5][k]), float(out_r[5][k]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out[0]), jax.tree.leaves(out_r[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_volumetric_bf16_step_finite(rng):
+    """bf16 compute (the other half of the 128³ plan) trains a finite step;
+    params and VQ state stay f32 (master weights)."""
+    enc, dec, ev, dv, vq, etx, dtx = init_volumetric(
+        jax.random.key(0), filters=FILTERS, dict_size=5, volume_shape=SHAPE,
+        dtype=jnp.bfloat16, use_remat=True)
+    assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(ev["params"]))
+    step = make_volumetric_train_step(enc, dec, etx, dtx)
+    vol = jnp.asarray(rng.uniform(-1, 1, SHAPE).astype(np.float32))
+    eo, do = etx.init(ev["params"]), dtx.init(dv["params"])
+    ev2, dv2, vq2, eo, do, m = step(ev, dv, vq, eo, do, vol)
+    assert np.isfinite(float(m["total"]))
+    assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(ev2["params"]))
+
+
 @pytest.mark.slow
 def test_volumetric_spatial_partitioning(rng):
     """2x4 (data x spatial) mesh: depth-sharded volumes, XLA halo exchange.

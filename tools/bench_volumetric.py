@@ -1,14 +1,23 @@
 """Volumetric (3-D) VQ-WNet benchmarks + GSPMD partitioning evidence
 (VERDICT r1 #10).
 
-Two modes:
-  --tpu   single-chip 64^3 train-step timing on the real chip.
-  --gspmd (default) 8-device virtual CPU mesh ('data'=2 x 'spatial'=4):
-          compiles the depth-sharded step, executes one step, and inspects
-          the compiled HLO for the halo-exchange collectives
-          (collective-permute) GSPMD inserts for 3-D convs across depth
-          shards. Self-pins to the CPU backend in a subprocess (same recipe
-          as __graft_entry__.dryrun_multichip).
+Modes:
+  --tpu     single-chip 64^3 train-step timing on the real chip.
+  --tpu128  single-chip 128^3 attempt at the BASELINE config-#5 operating
+            point: bf16 compute + per-block remat (the memory plan in
+            models/volumetric.py::_blocks). Prints ms/step + Mvox/s or the
+            measured OOM — either way an evidence-backed answer to "can one
+            16 GB chip hold 128^3?" (VERDICT r2 weak #5).
+  --gspmd [--size N]
+            (default, size 32) 8-device virtual CPU mesh
+            ('data'=2 x 'spatial'=4): compiles the depth-sharded step,
+            executes one step, and inspects the compiled HLO for the
+            halo-exchange collectives (collective-permute) GSPMD inserts for
+            3-D convs across depth shards. Self-pins to the CPU backend in a
+            subprocess (same recipe as __graft_entry__.dryrun_multichip).
+            `--size 128` executes the full 128^3 step on the virtual mesh
+            (slow on CPU, ~minutes; proves the sharded memory plan compiles
+            AND runs at the target shape).
 """
 
 import os
@@ -18,6 +27,8 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 def run_tpu():
@@ -54,7 +65,60 @@ def run_tpu():
           f"({vox_per_sec/1e6:.1f} Mvox/s/chip), total={float(m['total']):.4f}")
 
 
-def run_gspmd():
+def run_tpu128():
+    """128^3 on ONE chip: bf16 activations + per-block remat.
+
+    Memory plan (f32/no-remat would NOT fit): a 128^3 volume through
+    filters (8,16,32,64) produces ~2.1 M voxels x 8 ch = 16.8 M activations
+    at full res per conv output; the two U-Nets have ~22 conv outputs at
+    full-res-equivalent cost, i.e. ~11 GB of f32 activations held for
+    backward BEFORE optimizer/param memory — over the 16 GB chip budget.
+    bf16 halves that and per-block remat keeps only each block's BOUNDARY
+    tensors (~12 of them, ~0.4 GB bf16), recomputing the interiors during
+    backward at ~1.3x forward FLOPs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from medical_image_editing_tpu.train.volumetric import (
+        init_volumetric,
+        make_volumetric_train_step,
+    )
+
+    shape = (1, 128, 128, 128, 1)
+    enc, dec, ev, dv, vq, enc_tx, dec_tx = init_volumetric(
+        jax.random.key(0), filters=(8, 16, 32, 64), dict_size=10,
+        volume_shape=shape, dtype=jnp.bfloat16, use_remat=True,
+    )
+    step = make_volumetric_train_step(enc, dec, enc_tx, dec_tx)
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+    enc_opt, dec_opt = enc_tx.init(ev["params"]), dec_tx.init(dv["params"])
+
+    try:
+        ev, dv, vq, enc_opt, dec_opt, m = step(ev, dv, vq, enc_opt, dec_opt, vol)
+        assert np.isfinite(float(m["total"]))
+    except Exception as e:
+        print(f"volumetric 128^3 single-chip: FAILED {type(e).__name__}: "
+              f"{str(e)[:300]}")
+        return
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ev, dv, vq, enc_opt, dec_opt, m = step(ev, dv, vq, enc_opt, dec_opt, vol)
+    assert np.isfinite(float(m["total"]))
+    dt = (time.perf_counter() - t0) / n
+    vox = np.prod(shape[1:4])
+    print(f"volumetric 128^3 step (bf16+remat): {dt*1000:.2f} ms/step "
+          f"({vox/dt/1e6:.1f} Mvox/s/chip), total={float(m['total']):.4f}")
+    stats = jax.devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use")
+    if peak:
+        print(f"peak HBM: {peak/2**30:.2f} GiB")
+
+
+def run_gspmd(size=32):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -71,10 +135,14 @@ def run_gspmd():
     assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
     mesh = create_volumetric_mesh(devs, data=2, spatial=4)
 
-    shape = (2, 32, 32, 32, 1)
+    # At 128^3 use the full memory plan (bf16 + remat) — the same recipe the
+    # single-chip attempt uses, now with depth additionally sharded 4-way.
+    big = size >= 128
+    shape = (2, size, size, size, 1)
     enc, dec, ev, dv, vq, enc_tx, dec_tx = init_volumetric(
         jax.random.key(0), filters=(8, 16, 32, 64), dict_size=10,
         volume_shape=(1,) + shape[1:],
+        dtype=jnp.bfloat16 if big else None, use_remat=big,
     )
     step = make_volumetric_train_step(enc, dec, enc_tx, dec_tx, mesh=mesh)
     rng = np.random.default_rng(0)
@@ -95,26 +163,38 @@ def run_gspmd():
     assert n_cp > 0, "expected GSPMD halo exchanges for depth-sharded 3-D convs"
     assert n_ar > 0, "expected gradient all-reduce"
 
+    t0 = time.perf_counter()
     outs = compiled(ev, dv, vq, enc_opt, dec_opt, vol)
     m = outs[-1]
     assert np.isfinite(float(m["total"]))
-    print(f"sharded step executed: total={float(m['total']):.4f}, "
-          f"recon={float(m['recon']):.4f}")
+    dt = time.perf_counter() - t0
+    print(f"sharded {size}^3 step executed in {dt:.1f}s (virtual CPU mesh): "
+          f"total={float(m['total']):.4f}, recon={float(m['recon']):.4f}")
     print("gspmd ok")
 
 
+def _cli_size(default=32):
+    if "--size" in sys.argv:
+        return int(sys.argv[sys.argv.index("--size") + 1])
+    return default
+
+
 def main():
+    if "--tpu128" in sys.argv:
+        run_tpu128()
+        return
     if "--tpu" in sys.argv:
         run_tpu()
         return
     from medical_image_editing_tpu.utils.hermetic import cpu_pinned_env, is_cpu_pinned
 
     if is_cpu_pinned(8):
-        run_gspmd()
+        run_gspmd(_cli_size())
         return
     env = cpu_pinned_env(8)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)] + sys.argv[1:], env=env)
     sys.exit(proc.returncode)
 
 
