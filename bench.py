@@ -110,9 +110,12 @@ def main():
     try:
         from bench_edit import run_edit_benchmarks
 
+        # run_edit_benchmarks guards each phase internally and returns the
+        # partial dict; this outer guard only covers import/setup surprises.
         edit_metrics = run_edit_benchmarks() or {}
     except Exception as e:  # edit metrics are additive — never break the headline
-        print(f"edit benchmarks failed: {e!r}", file=sys.stderr)
+        msg = repr(e).splitlines()[0][:160]  # XLA errors embed multi-KB dumps
+        print(f"edit benchmarks failed: {msg}", file=sys.stderr)
 
     state, step = build()
     rng = np.random.default_rng(0)

@@ -1,8 +1,14 @@
 """Edit-latency benchmark (BASELINE.md north-star: p50 per-slice edit latency,
-jit-compiled decode at 512²) + batched 32-slice editing throughput. Prints two
-JSON lines; the driver-facing single-line benchmark stays in bench.py."""
+jit-compiled decode at 512²) + batched 32-slice editing throughput. Prints one
+JSON line per metric; the driver-facing consolidated line stays in bench.py.
+
+Every phase runs under its own guard: a failing phase loses that one metric
+(one truncated stderr line — round 3's int8 OOM dumped a multi-KB XLA
+allocation report that flooded the driver's 2KB tail AND threw away the
+already-measured p50 metrics; neither can happen again)."""
 
 import json
+import sys
 import time
 
 import jax
@@ -14,10 +20,15 @@ from medical_image_editing_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 
+def _one_line(exc, limit=160):
+    """First line of repr(exc), truncated — XLA errors embed multi-KB dumps."""
+    return repr(exc).splitlines()[0][:limit]
+
+
 def run_edit_benchmarks(budget_s: float = None):
     """Measure + print the editing metrics as JSON lines; returns a
-    {metric: value} dict so bench.py can fold them into its consolidated
-    penultimate line (the driver captures only the output tail).
+    {metric: value} dict (partial on failures — never raises) so bench.py can
+    fold them into its consolidated penultimate line.
 
     budget_s (or MEDIMG_BENCH_EDIT_BUDGET, default 1200 s): soft deadline —
     remaining edit phases are skipped once exceeded so the headline training
@@ -33,148 +44,108 @@ def run_edit_benchmarks(budget_s: float = None):
 
     def over_budget(phase):
         if time.perf_counter() - t_start > budget_s:
-            import sys
-
             print(f"edit bench budget exceeded; skipping {phase}",
                   file=sys.stderr)
             return True
         return False
-    from medical_image_editing_tpu.cli.edit_batch import make_batched_edit_fn
-    from medical_image_editing_tpu.models import UNetDecoder
-    from medical_image_editing_tpu.models.unet_encoder import EncoderWithVQ
 
-    enc = EncoderWithVQ(filters=(16, 32, 64, 128, 256), dict_size=10,
-                        momentum=0.999, dtype=jnp.bfloat16)
-    dec = UNetDecoder(out_channels=1, filters=(32, 64, 128, 256, 512),
-                      dropped_skip_layers=(), use_pixel_shuffle=False,
-                      dtype=jnp.bfloat16)
-    # init on host CPU — avoids one-shot compile RPCs through the tunnel —
-    # then commit the params to the accelerator explicitly
-    with jax.default_device(jax.devices("cpu")[0]):
-        x0 = jnp.zeros((1, 512, 512, 1), jnp.float32)
-        enc_vars, vq = enc.init(jax.random.key(0), x0)
-        q, *_ = enc(enc_vars, vq, x0, train=False)
-        dec_vars = dec.init({"params": jax.random.key(1),
-                             "dropblock": jax.random.key(2)}, q, train=False)
-    dev = jax.devices()[0]
-    dec_vars, vq = jax.device_put((dec_vars, vq), dev)
+    def run_phase(name, fn):
+        """One metric per phase; a failure costs only that metric."""
+        if over_budget(name):
+            return
+        try:
+            value = fn()
+        except Exception as e:
+            print(f"edit bench phase {name} failed: {_one_line(e)}",
+                  file=sys.stderr)
+            return
+        metrics[name] = value
+        print(json.dumps({"metric": name, "value": value,
+                          "unit": UNITS[name], "vs_baseline": None}))
+
+    UNITS = {
+        "edit_latency_p50_512": "ms/slice",
+        "edit_latency_p50_512_uint8": "ms/slice",
+        "edit_latency_p50_512_int8": "ms/slice",
+        "edit_throughput_batched32_512": "slices/sec/chip",
+        "edit_throughput_batched32_512_uint8": "slices/sec/chip",
+        "edit_throughput_batched32_512_int8": "slices/sec/chip",
+    }
+
+    try:
+        from medical_image_editing_tpu.cli.edit_batch import make_batched_edit_fn
+        from medical_image_editing_tpu.models import UNetDecoder
+        from medical_image_editing_tpu.models.unet_encoder import EncoderWithVQ
+
+        enc = EncoderWithVQ(filters=(16, 32, 64, 128, 256), dict_size=10,
+                            momentum=0.999, dtype=jnp.bfloat16)
+        dec = UNetDecoder(out_channels=1, filters=(32, 64, 128, 256, 512),
+                          dropped_skip_layers=(), use_pixel_shuffle=False,
+                          dtype=jnp.bfloat16)
+        # init on host CPU — avoids one-shot compile RPCs through the tunnel —
+        # then commit the params to the accelerator explicitly
+        with jax.default_device(jax.devices("cpu")[0]):
+            x0 = jnp.zeros((1, 512, 512, 1), jnp.float32)
+            enc_vars, vq = enc.init(jax.random.key(0), x0)
+            q, *_ = enc(enc_vars, vq, x0, train=False)
+            dec_vars = dec.init({"params": jax.random.key(1),
+                                 "dropblock": jax.random.key(2)}, q, train=False)
+        dev = jax.devices()[0]
+        dec_vars, vq = jax.device_put((dec_vars, vq), dev)
+    except Exception as e:  # can't even build — no edit metrics this run
+        print(f"edit bench setup failed: {_one_line(e)}", file=sys.stderr)
+        return metrics
 
     rng = np.random.default_rng(0)
-
-    # single-slice p50 latency (the run_recon hot path, run_recon.py:182-197)
-    edit1 = make_batched_edit_fn(dec, is_lung=True)
     ids1 = jnp.asarray(rng.integers(0, 11, (1, 512, 512)).astype(np.int32))
-    np.asarray(edit1(dec_vars, vq, ids1))  # compile
-    lats = []
-    for _ in range(30):
-        t0 = time.perf_counter()
-        out = edit1(dec_vars, vq, ids1)
-        # device→host transfer included: the edit loop's consumer is a PNG on
-        # host, and block_until_ready is unreliable on this platform anyway
-        np.asarray(out)
-        lats.append((time.perf_counter() - t0) * 1000)
-    p50 = float(np.percentile(lats, 50))
-    metrics["edit_latency_p50_512"] = round(p50, 2)
-    print(json.dumps({"metric": "edit_latency_p50_512", "value": round(p50, 2),
-                      "unit": "ms/slice", "vs_baseline": None}))
-
-    # serving-path latency: uint8 on-device quantization (PNG consumers) —
-    # 4× smaller device→host transfer
-    if over_budget("uint8 latency + batched throughput"):
-        return metrics
-    edit1_u8 = make_batched_edit_fn(dec, is_lung=True, output_dtype="uint8")
-    np.asarray(edit1_u8(dec_vars, vq, ids1))  # compile
-    lats = []
-    for _ in range(30):
-        t0 = time.perf_counter()
-        out = edit1_u8(dec_vars, vq, ids1)
-        np.asarray(out)
-        lats.append((time.perf_counter() - t0) * 1000)
-    p50u = float(np.percentile(lats, 50))
-    metrics["edit_latency_p50_512_uint8"] = round(p50u, 2)
-    print(json.dumps({"metric": "edit_latency_p50_512_uint8",
-                      "value": round(p50u, 2),
-                      "unit": "ms/slice", "vs_baseline": None}))
-
-    # int8 serving decode (VERDICT r2 item 6): every decoder conv on the
-    # MXU's s8×s8→s32 path (ops/quantized_conv.py); v5e's int8 MXU rate is
-    # ~2× bf16, accuracy cost pinned in tests/test_quantized_conv.py.
-    if over_budget("int8 latency"):
-        return metrics
-    edit1_i8 = make_batched_edit_fn(dec, is_lung=True, quantize="int8")
-    np.asarray(edit1_i8(dec_vars, vq, ids1))  # compile
-    lats = []
-    for _ in range(30):
-        t0 = time.perf_counter()
-        out = edit1_i8(dec_vars, vq, ids1)
-        np.asarray(out)
-        lats.append((time.perf_counter() - t0) * 1000)
-    p50i = float(np.percentile(lats, 50))
-    metrics["edit_latency_p50_512_int8"] = round(p50i, 2)
-    print(json.dumps({"metric": "edit_latency_p50_512_int8",
-                      "value": round(p50i, 2),
-                      "unit": "ms/slice", "vs_baseline": None}))
-
-    # batched 32-slice editing throughput (BASELINE config #3).
-    # best-of-3 repeats: the axon tunnel adds multi-ms scheduling noise that
-    # swings a single 5-iteration window by ±30%; peak over short windows is
-    # the stable capacity measure on this environment.
-    if over_budget("batched throughput"):
-        return metrics
-    edit32 = make_batched_edit_fn(dec, is_lung=True)
     ids32 = jnp.asarray(rng.integers(0, 11, (32, 512, 512)).astype(np.int32))
-    np.asarray(edit32(dec_vars, vq, ids32))
-    best = 0.0
-    n = 5
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = edit32(dec_vars, vq, ids32)
-        # in-order device execution: materializing the last output waits for all
-        np.asarray(out)
-        dt = time.perf_counter() - t0
-        best = max(best, n * 32 / dt)
-    metrics["edit_throughput_batched32_512"] = round(best, 1)
-    print(json.dumps({"metric": "edit_throughput_batched32_512",
-                      "value": round(best, 1),
-                      "unit": "slices/sec/chip", "vs_baseline": None}))
 
-    # uint8 serving variant (PNG/display consumers): 4× less host transfer
-    if over_budget("batched uint8 throughput"):
-        return metrics
-    edit32_u8 = make_batched_edit_fn(dec, is_lung=True, output_dtype="uint8")
-    np.asarray(edit32_u8(dec_vars, vq, ids32))
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = edit32_u8(dec_vars, vq, ids32)
-        np.asarray(out)
-        dt = time.perf_counter() - t0
-        best = max(best, n * 32 / dt)
-    metrics["edit_throughput_batched32_512_uint8"] = round(best, 1)
-    print(json.dumps({"metric": "edit_throughput_batched32_512_uint8",
-                      "value": round(best, 1),
-                      "unit": "slices/sec/chip", "vs_baseline": None}))
+    def latency_p50(**kw):
+        """Single-slice p50 (the run_recon hot path, run_recon.py:182-197).
+        Device→host transfer included: the edit loop's consumer is a PNG on
+        host, and block_until_ready is unreliable on this platform anyway."""
+        edit1 = make_batched_edit_fn(dec, is_lung=True, **kw)
+        np.asarray(edit1(dec_vars, vq, ids1))  # compile
+        lats = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            out = edit1(dec_vars, vq, ids1)
+            np.asarray(out)
+            lats.append((time.perf_counter() - t0) * 1000)
+        return round(float(np.percentile(lats, 50)), 2)
 
-    # batched int8 throughput (compute-bound regime — where the s8 MXU rate
-    # actually shows, if it shows; single-slice is transfer/dispatch-heavy)
-    if over_budget("batched int8 throughput"):
-        return metrics
-    edit32_i8 = make_batched_edit_fn(dec, is_lung=True, quantize="int8")
-    np.asarray(edit32_i8(dec_vars, vq, ids32))
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = edit32_i8(dec_vars, vq, ids32)
-        np.asarray(out)
-        dt = time.perf_counter() - t0
-        best = max(best, n * 32 / dt)
-    metrics["edit_throughput_batched32_512_int8"] = round(best, 1)
-    print(json.dumps({"metric": "edit_throughput_batched32_512_int8",
-                      "value": round(best, 1),
-                      "unit": "slices/sec/chip", "vs_baseline": None}))
+    def throughput_32(**kw):
+        """Batched 32-slice throughput (BASELINE config #3). best-of-3
+        repeats: the axon tunnel adds multi-ms scheduling noise that swings a
+        single 5-iteration window by ±30%; peak over short windows is the
+        stable capacity measure on this environment."""
+        edit32 = make_batched_edit_fn(dec, is_lung=True, **kw)
+        np.asarray(edit32(dec_vars, vq, ids32))  # compile
+        best, n = 0.0, 5
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = edit32(dec_vars, vq, ids32)
+            # in-order device execution: materializing the last output waits
+            # for all
+            np.asarray(out)
+            best = max(best, n * 32 / (time.perf_counter() - t0))
+        return round(best, 1)
+
+    # serving-path variants: uint8 = on-device [-1,1]→[0,255] quantization
+    # (PNG consumers; 4× smaller device→host transfer); int8 = every decoder
+    # conv on the MXU's s8×s8→s32 path (ops/quantized_conv.py; VERDICT r2
+    # item 6). int8 batched runs microbatch=8 — the monolithic batch-32
+    # dispatch OOMs 16 GB HBM (see make_batched_edit_fn docstring).
+    run_phase("edit_latency_p50_512", lambda: latency_p50())
+    run_phase("edit_latency_p50_512_uint8",
+              lambda: latency_p50(output_dtype="uint8"))
+    run_phase("edit_latency_p50_512_int8", lambda: latency_p50(quantize="int8"))
+    run_phase("edit_throughput_batched32_512", lambda: throughput_32())
+    run_phase("edit_throughput_batched32_512_uint8",
+              lambda: throughput_32(output_dtype="uint8"))
+    run_phase("edit_throughput_batched32_512_int8",
+              lambda: throughput_32(quantize="int8", microbatch=8))
     return metrics
 
 

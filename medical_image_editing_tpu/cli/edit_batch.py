@@ -30,6 +30,7 @@ def make_batched_edit_fn(
     partition: str = "data",
     output_dtype=None,
     quantize=None,
+    microbatch=None,
 ):
     """Returns edit(dec_vars, vq_state, id_maps (B,H,W) int32) → recon (B,H,W).
 
@@ -56,11 +57,21 @@ def make_batched_edit_fn(
     (dynamic per-input-channel activation scales folded into per-output-
     channel weight scales — ops/quantized_conv.py); same checkpoint,
     serving-time choice. Accuracy vs f32/bf16 pinned in
-    tests/test_quantized_conv.py, latency in PERF.md.
+    tests/test_quantized_conv.py; measured latency/throughput in PERF.md
+    ("int8 serving decode").
+
+    microbatch=N sequences the batch through the decoder N slices at a time
+    (`lax.scan` over reshaped chunks inside the same jit) instead of one
+    monolithic dispatch. Peak HBM for the decoder activations scales with the
+    in-flight chunk, not the batch: the int8 path at batch 32 @512² OOMs a
+    16 GB v5e chip (each full-res conv holds the s32 accumulator + quantize
+    temps at (32,512,512,32) ≈ 1 GB apiece, and ASPP runs five such branches),
+    while microbatch=8 fits with headroom. Per-slice math (mask mean rescale)
+    is unchanged — chunking is semantically invisible.
     """
     from ..ops.quantized_conv import quantize_convs
 
-    def edit(dec_vars, vq_state, id_maps):
+    def edit_chunk(dec_vars, vq_state, id_maps):
         ids = id_maps.astype(jnp.int32)
         bg = ids == 0
         ids0 = jnp.where(bg, 1, ids) - 1
@@ -83,6 +94,22 @@ def make_batched_edit_fn(
         if output_dtype == "uint8":
             recon = ((jnp.clip(recon, -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
         return recon
+
+    def edit(dec_vars, vq_state, id_maps):
+        b = id_maps.shape[0]
+        if not microbatch or b <= microbatch:
+            return edit_chunk(dec_vars, vq_state, id_maps)
+        if b % microbatch:
+            raise ValueError(
+                f"batch {b} not divisible by microbatch {microbatch}"
+            )
+        chunks = id_maps.reshape((b // microbatch, microbatch) + id_maps.shape[1:])
+
+        def body(_, chunk):
+            return None, edit_chunk(dec_vars, vq_state, chunk)
+
+        _, out = jax.lax.scan(body, None, chunks)
+        return out.reshape((b,) + out.shape[2:])
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

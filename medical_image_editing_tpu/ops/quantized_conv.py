@@ -32,7 +32,12 @@ Because interception happens at call time and changes no parameter names,
 the same checkpoint serves f32, bf16, and int8 decodes; selection is a
 serving flag (`--dtype int8` on edit-batch / serve-edit). Accuracy against
 the f32 decode is pinned in tests/test_quantized_conv.py; the measured
-latency/throughput is in PERF.md ("int8 serving decode").
+latency/throughput is in PERF.md ("int8 serving decode") — **a measured
+rejection for the flagship decoder**: at 512² the convs are HBM-bound and
+the three extra memory passes dynamic quantization adds (activation amax,
+s8 convert, s32 dequant) cost more than the s8 MXU rate saves (82.4 vs
+77.2 ms single-slice, 39.4 vs 53.8 slices/s batched, 2026-08-20). The seam
+stays for static-calibrated quantization at MXU-bound widths.
 
 The reference has no quantization story at all (torch fp32 end to end,
 `src/run_recon.py`); this is new TPU-first serving design, not a port.

@@ -39,6 +39,41 @@ def test_batched_edit_matches_per_slice(rng):
     assert np.isfinite(batched).all()
 
 
+def test_microbatched_edit_matches_independent_chunks(rng):
+    """microbatch=N (lax.scan chunks inside the jit) computes exactly what N
+    independent batch-N dispatches compute — the scan is pure plumbing. (NOT
+    compared against the monolithic batch-8 dispatch: a different batch size
+    changes XLA fusion/reduction order, and the random-init InstanceNorm
+    stack divides by ~sqrt(eps) wherever spatial variance collapses,
+    amplifying those last-ulp differences to O(1e-1); with trained weights
+    the paths agree — see test_batched_edit_matches_per_slice's tolerance.)
+    Covers the int8 quantized path, the config whose monolithic batch-32
+    dispatch OOMs on hardware."""
+    dec, s = _setup()
+    ids = jnp.asarray(rng.integers(0, 7, (8, 32, 32)).astype(np.int32))
+    for kw in ({}, {"quantize": "int8"}, {"output_dtype": "uint8"}):
+        chunk2 = make_batched_edit_fn(dec, is_lung=True, **kw)
+        micro = make_batched_edit_fn(dec, is_lung=True, microbatch=2, **kw)
+        a = np.concatenate([
+            np.asarray(chunk2(s["dec_vars"], s["vq"], ids[i : i + 2]))
+            for i in range(0, 8, 2)
+        ])
+        b = np.asarray(micro(s["dec_vars"], s["vq"], ids))
+        if a.dtype == np.uint8:
+            assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+        else:
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+    # microbatch >= batch degrades to the monolithic dispatch (bit-identical)
+    big = make_batched_edit_fn(dec, is_lung=True, microbatch=16)
+    np.testing.assert_array_equal(
+        np.asarray(big(s["dec_vars"], s["vq"], ids)),
+        np.asarray(make_batched_edit_fn(dec, is_lung=True)(
+            s["dec_vars"], s["vq"], ids)),
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        make_batched_edit_fn(dec, microbatch=3)(s["dec_vars"], s["vq"], ids)
+
+
 def test_edit_study_pipeline(tmp_path, rng):
     dec, s = _setup()
 
