@@ -54,8 +54,26 @@ def capture(trace_dir: str, steps: int):
     print(f"trace captured to {trace_dir} ({steps} steps)")
 
 
+def _import_xplane_pb2():
+    """The xplane proto moved between TF releases; try the known homes."""
+    candidates = (
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2",  # this image's TF
+        "tensorflow.core.profiler.protobuf.xplane_pb2",
+        "tsl.profiler.protobuf.xplane_pb2",
+        "xprof.protobuf.xplane_pb2",
+    )
+    import importlib
+
+    for name in candidates:
+        try:
+            return importlib.import_module(name)
+        except ImportError:
+            continue
+    raise ImportError(f"xplane_pb2 not found in any of {candidates}")
+
+
 def parse(trace_dir: str, steps: int, top: int):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    xplane_pb2 = _import_xplane_pb2()
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                              recursive=True))
@@ -105,6 +123,38 @@ def parse(trace_dir: str, steps: int, top: int):
     rest = total_ps - shown_ps
     print(f"{rest/1e9/steps:9.3f}  {100*rest/max(total_ps,1):6.2f}       "
           f"- (everything below top {top})")
+
+    # ---- category rollup: the top-K table above is flat (no single op
+    # dominates), so itemize the whole step by HLO instruction-name prefix —
+    # XLA names fusions by their root/epilogue ops, which is enough to split
+    # conv work from gathers, reduces, copies, and loop glue.
+    cats = defaultdict(lambda: [0.0, 0])
+    for plane, line, name, ps, cnt in op_rows:
+        base = name.lstrip("%").split(" ")[0].split("=")[0]
+        base = base.split(".")[0]
+        cats[base][0] += ps
+        cats[base][1] += cnt
+    print(f"\n{'ms/step':>9}  {'%dev':>6}  {'count':>6}  category "
+          f"(instruction-name prefix)")
+    for base, (ps, cnt) in sorted(cats.items(), key=lambda kv: -kv[1][0]):
+        if ps / max(total_ps, 1) < 0.003:
+            continue
+        print(f"{ps/1e9/steps:9.3f}  {100*ps/max(total_ps,1):6.2f}  "
+              f"{cnt:6d}  {base}")
+
+    # ---- rollup by output shape: "where does the time go by resolution" —
+    # the actionable cut for a U-Net (full-res rows vs bottleneck rows).
+    import re
+
+    shapes = defaultdict(lambda: [0.0, 0])
+    for plane, line, name, ps, cnt in op_rows:
+        m = re.search(r"=\s*\(?([a-z0-9]+\[[0-9,]*\])", name)
+        shapes[m.group(1) if m else "?"][0] += ps
+        shapes[m.group(1) if m else "?"][1] += cnt
+    print(f"\n{'ms/step':>9}  {'%dev':>6}  {'count':>6}  output shape")
+    for spec, (ps, cnt) in sorted(shapes.items(), key=lambda kv: -kv[1][0])[:20]:
+        print(f"{ps/1e9/steps:9.3f}  {100*ps/max(total_ps,1):6.2f}  "
+              f"{cnt:6d}  {spec}")
 
 
 def main():
