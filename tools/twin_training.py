@@ -225,14 +225,268 @@ def run_twin(*, steps=300, size=64, batch=4, dict_size=5,
     return result
 
 
+GAN_LOSS_KEYS = ("total", "gen_total", "recon", "freq", "gen",
+                 "unet_perceptual", "dis_total", "dis", "cutmix", "consistency")
+
+
+def _derive_cutmix_boxes(steps, size, n_inner_loops=1, seed_key=42):
+    """Replicate make_second_stage_step's per-step RNG chain on the host and
+    return the CutMix box + invert flag our step will draw at every step, so
+    the reference trainer can be fed the identical boxes (it samples them
+    from module-level np/python RNG — `single_window_trainer.py:332-344`).
+    Chain (second_stage.py step_fn): state.rng → split(3)[2] = k_dis →
+    split(n_inner)[i] → split → (k_box, k_inv)."""
+    import jax
+
+    from medical_image_editing_tpu.ops.cutmix import cutmix_coordinates
+
+    rng = jax.random.key(seed_key)
+    per_step = []
+    for _ in range(steps):
+        rng, _k_drop, k_dis = jax.random.split(rng, 3)
+        boxes = []
+        for key_i in jax.random.split(k_dis, n_inner_loops):
+            k_box, k_inv = jax.random.split(key_i)
+            ((y0, y1), (x0, x1)), lam = cutmix_coordinates(k_box, size, size)
+            invert = bool(jax.random.uniform(k_inv) > 0.5)
+            boxes.append(((int(y0), int(y1), int(x0), int(x1)),
+                          float(lam), invert))
+        per_step.append(boxes)
+    return per_step
+
+
+def run_twin_gan(*, steps=150, size=128, batch=2, dict_size=5,
+                 filters=(4, 8, 16, 32, 64), n_train=16, n_eval=8, seed=0,
+                 log_every=10, quiet=False):
+    """Twin-train the GAN second stage (VERDICT r3 item 5): the reference's
+    OWN `_train_second_step_unet_dis` (executed verbatim, torch CPU) vs our
+    `make_second_stage_step`, from identical transplanted weights, identical
+    batch order, and identical per-step CutMix boxes (the reference's
+    module-level RNG is pinned to the boxes our step derives from its own
+    key chain). Drift risks specific to this stage — spectral-norm power
+    -iteration state, CutMix compositing, inner-loop ordering, the stale
+    -recon quirk (`single_window_trainer.py:264-432`) — are all on the path.
+
+    Size is 128 minimum: the reference's Unet_Discriminator arch table has no
+    smaller resolution (`unet_discriminator.py:358-369`)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import jax.numpy as jnp
+    import torch
+
+    import parity_helpers as ph
+    import ref_trainer_env as env
+    from medical_image_editing_tpu.models import UNetDecoder, UNetDiscriminator
+    from medical_image_editing_tpu.models.unet_encoder import EncoderWithVQ
+    from medical_image_editing_tpu.ops import metrics as M
+    from medical_image_editing_tpu.train import create_train_state
+    from medical_image_editing_tpu.train.second_stage import (
+        SecondStageLossConfig,
+        make_second_stage_step,
+    )
+    from medical_image_editing_tpu.train.state import make_optimizer
+    from medical_image_editing_tpu.utils import torch_import as ti
+
+    ref_trainers = env.load_reference_trainers()
+
+    torch.manual_seed(seed)
+    cfg = env.make_ref_config(
+        training_mode="second_step", dict_size=dict_size,
+        filters=list(filters), dis_model="UNetDiscriminator",
+        image_size=(size, size), use_l1_loss=True, lr=LR, momentum=0.99,
+    )
+    with env.grayscale_unet_dis_arch():
+        tr = ref_trainers.SingleWindowTrainer(
+            cfg, save_dir_path="/tmp/twin_ref_gan", monitoring_metrics=[]
+        )
+    env.grayscale_unet_dis_arch.fix(tr.dis)
+    tr.encoder.init_embed = True  # codebook transplanted, not k-means'd
+    tr.train()
+    sd = env.trainer_state_dict(tr)
+    dis_vars0 = ph.unet_discriminator_params(tr.dis)
+
+    # ---- our side: transplant the reference's exact initial weights --------
+    jenc = EncoderWithVQ(filters=tuple(filters), dict_size=dict_size,
+                         momentum=0.99)
+    jdec = UNetDecoder(out_channels=1, filters=tuple(filters),
+                       dropped_skip_layers=(), use_pixel_shuffle=False)
+    jdis = UNetDiscriminator(D_ch=8, resolution=size)
+    enc_vars = ti.import_unet_encoder(sd, "encoder.")
+    vq0 = ti.import_vq_state(sd, "encoder.vq.")
+    dec_skel = jdec.init(
+        {"params": jax.random.key(0), "dropblock": jax.random.key(1)},
+        jnp.zeros((batch, size, size, filters[0])), train=False,
+    )
+    dec_vars = {"params": ti.import_unet_decoder(sd, "decoder.")["params"],
+                "batch_stats": dec_skel["batch_stats"]}
+    tx = make_optimizer(LR)
+    state = create_train_state(
+        jax.random.key(42), enc_vars, dec_vars, vq0, tx, tx,
+        dis_vars=dis_vars0, dis_tx=tx,
+    )
+
+    loss_cfg = SecondStageLossConfig(
+        w_recon=1.0, w_freq=0.5, w_gen=0.25, w_unet_perceptual=0.125,
+        w_dis=1.0, w_cutmix=0.5, w_consistency=0.25,
+        use_l1_loss=True, use_unet_perceptual_loss=True, n_inner_loops=1,
+    )
+    step = jax.jit(make_second_stage_step(
+        jenc, jdec, jdis, tx, tx, loss_cfg=loss_cfg,
+        dis_type="UNetDiscriminator",
+    ))
+
+    boxes = _derive_cutmix_boxes(steps, size)
+    data = make_dataset(n_train, size, seed=seed)
+    eval_data = make_dataset(n_eval, size, seed=seed + 1)
+
+    # ---- twin training loop (reference fed our per-step CutMix boxes) ------
+    sw = env.sys.modules["trainers.single_window_trainer"]
+    orig_coords, orig_random = sw.cutmix_coordinates, sw.random
+    curves = {k: {"ours": [], "ref": []} for k in GAN_LOSS_KEYS}
+    t0 = time.time()
+    try:
+        for i in range(steps):
+            lo = (i * batch) % n_train
+            img = data[lo:lo + batch]
+            if img.shape[0] < batch:
+                img = np.concatenate([img, data[: batch - img.shape[0]]])
+
+            state, m = step(state, jnp.asarray(img))
+
+            (y0, y1, x0, x1), lam, invert = boxes[i][0]
+            sw.cutmix_coordinates = (
+                lambda h, w, alpha=1.0, _b=((y0, y1), (x0, x1)), _l=lam: (_b, _l)
+            )
+            sw.random = lambda _inv=invert: 0.9 if _inv else 0.1
+            tbatch = {"image": torch.from_numpy(img.transpose(0, 3, 1, 2).copy())}
+            tr.training_step(tbatch, i)
+            tr.global_step += 1
+
+            for k in GAN_LOSS_KEYS:
+                curves[k]["ours"].append(float(m[k]))
+                curves[k]["ref"].append(float(tr.logged[k]))
+            if not quiet and (i % log_every == 0 or i == steps - 1):
+                o, r = curves["total"]["ours"][-1], curves["total"]["ref"][-1]
+                d, dr = curves["dis_total"]["ours"][-1], curves["dis_total"]["ref"][-1]
+                print(f"step {i:4d}  total ours={o:9.4f} ref={r:9.4f} "
+                      f"relΔ={abs(o - r) / max(abs(r), 1e-9):.2e} | "
+                      f"dis ours={d:8.4f} ref={dr:8.4f}", flush=True)
+    finally:
+        sw.cutmix_coordinates, sw.random = orig_coords, orig_random
+    train_s = time.time() - t0
+
+    # ---- held-out: recon metrics + discriminator statistics, same code -----
+    def eval_ours():
+        q, *_ = jenc(state.enc_vars, state.vq, jnp.asarray(eval_data),
+                     train=False)
+        recon = jdec.apply(state.dec_vars, q, train=False)
+        d_real = jdis.apply(state.dis_vars, jnp.asarray(eval_data), False)
+        d_fake = jdis.apply(state.dis_vars, recon, False)
+        return np.asarray(recon), d_real, d_fake
+
+    def eval_ref():
+        tr.eval()
+        with torch.no_grad():
+            x = torch.from_numpy(eval_data.transpose(0, 3, 1, 2).copy())
+            q, _, _ = tr.encoder(x)
+            recon = tr.decoder(q)
+            d_real = tr.dis(x)
+            d_fake = tr.dis(recon)
+        return (recon.numpy().transpose(0, 2, 3, 1),
+                [t.numpy() for t in d_real[:2]],
+                [t.numpy() for t in d_fake[:2]])
+
+    rec_o, dro, dfo = eval_ours()
+    rec_r, drr, dfr = eval_ref()
+    tgt = eval_data
+
+    def dis_stats(d_real, d_fake):
+        r_map, r_bottle = np.asarray(d_real[0]), np.asarray(d_real[1])
+        f_map, f_bottle = np.asarray(d_fake[0]), np.asarray(d_fake[1])
+        return dict(
+            real_map_mean=float(r_map.mean()), real_map_std=float(r_map.std()),
+            fake_map_mean=float(f_map.mean()), fake_map_std=float(f_map.std()),
+            real_bottleneck_mean=float(r_bottle.mean()),
+            fake_bottleneck_mean=float(f_bottle.mean()),
+        )
+
+    ours = dict(
+        psnr=float(M.psnr(jnp.asarray(rec_o), jnp.asarray(tgt))),
+        ssim=float(M.ssim(jnp.asarray(rec_o), jnp.asarray(tgt))),
+        **dis_stats(dro, dfo),
+    )
+    ref = dict(
+        psnr=float(M.psnr(jnp.asarray(rec_r), jnp.asarray(tgt))),
+        ssim=float(M.ssim(jnp.asarray(rec_r), jnp.asarray(tgt))),
+        **dis_stats(drr, dfr),
+    )
+
+    def _traj(key):
+        o = np.array(curves[key]["ours"])
+        r = np.array(curves[key]["ref"])
+        rel = np.abs(o - r) / np.maximum(np.abs(r), 1e-9)
+        return {"median": float(np.median(rel)),
+                "p90": float(np.percentile(rel, 90)),
+                "max": float(rel.max()),
+                "first": [float(o[0]), float(r[0])],
+                "last": [float(o[-1]), float(r[-1])]}
+
+    result = {
+        "config": dict(steps=steps, size=size, batch=batch,
+                       dict_size=dict_size, filters=list(filters),
+                       n_train=n_train, n_eval=n_eval, lr=LR,
+                       dis="UNetDiscriminator", n_inner_loops=1),
+        "train_seconds": round(train_s, 1),
+        "trajectory": {k: _traj(k) for k in
+                       ("total", "gen_total", "dis_total", "cutmix",
+                        "consistency")},
+        "final_metrics": {"ours": ours, "reference": ref},
+        "deltas": {
+            "psnr_db": abs(ours["psnr"] - ref["psnr"]),
+            "ssim": abs(ours["ssim"] - ref["ssim"]),
+            "real_map_mean": abs(ours["real_map_mean"] - ref["real_map_mean"]),
+            "fake_map_mean": abs(ours["fake_map_mean"] - ref["fake_map_mean"]),
+            "real_bottleneck_mean": abs(ours["real_bottleneck_mean"]
+                                        - ref["real_bottleneck_mean"]),
+            "fake_bottleneck_mean": abs(ours["fake_bottleneck_mean"]
+                                        - ref["fake_bottleneck_mean"]),
+        },
+        "curves": curves,
+    }
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--identity-aug", action="store_true")
+    ap.add_argument("--gan", action="store_true",
+                    help="twin-train the GAN second stage (UNetDiscriminator "
+                         "+ CutMix) instead of the first stage; --size must "
+                         "be >= 128 (reference D arch table)")
     ap.add_argument("--out", default=None, help="write full JSON here")
     args = ap.parse_args()
+
+    if args.gan:
+        size = args.size if args.size >= 128 else 128
+        res = run_twin_gan(steps=args.steps, size=size,
+                           batch=min(args.batch, 2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(res, f, indent=1)
+        slim = {k: v for k, v in res.items() if k != "curves"}
+        print(json.dumps(slim, indent=1))
+        d = res["deltas"]
+        print(f"\nGAN twin: PSNR delta {d['psnr_db']:.4f} dB | SSIM delta "
+              f"{d['ssim']:.5f} | D(real) map mean delta "
+              f"{d['real_map_mean']:.5f} | D(fake) map mean delta "
+              f"{d['fake_map_mean']:.5f}")
+        return
 
     res = run_twin(steps=args.steps, size=args.size, batch=args.batch,
                    use_flip_aug=not args.identity_aug)
