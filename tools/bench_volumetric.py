@@ -116,6 +116,24 @@ def run_tpu128():
     peak = stats.get("peak_bytes_in_use")
     if peak:
         print(f"peak HBM: {peak/2**30:.2f} GiB")
+    elif stats:
+        print(f"memory_stats keys (no peak_bytes_in_use): {sorted(stats)}")
+    else:
+        # axon-tunneled PJRT exposes no memory_stats; fall back to the
+        # compiler's own accounting for this executable
+        try:
+            mem = step.lower(ev, dv, vq, enc_opt, dec_opt, vol).compile()
+            m = mem.memory_analysis()
+            if m is not None:
+                tot = (m.temp_size_in_bytes + m.argument_size_in_bytes
+                       + m.output_size_in_bytes)
+                print(f"compiler memory analysis: temp "
+                      f"{m.temp_size_in_bytes/2**30:.2f} GiB + args "
+                      f"{m.argument_size_in_bytes/2**30:.2f} GiB + out "
+                      f"{m.output_size_in_bytes/2**30:.2f} GiB = "
+                      f"{tot/2**30:.2f} GiB")
+        except Exception as e:
+            print(f"no memory accounting available: {type(e).__name__}")
 
 
 def run_gspmd(size=32):
