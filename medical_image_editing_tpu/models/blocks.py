@@ -31,16 +31,63 @@ from flax import linen as nn
 Dtype = Any
 
 
+def _instance_norm_twopass(x, eps: float = 1e-5):
+    """Straightforward form: `jnp.mean`/`jnp.var` over (H, W)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _instance_norm_lanepacked(x, eps: float = 1e-5):
+    """Same math, with the H,W statistics reduced through a lane-dense
+    (B, H, W·C) view.
+
+    Why (round-4 profiler finding, PERF.md "Profiler trace"): at this
+    package's reference-parity channel widths (C = 16/32) the channel-minor
+    TPU layout runs every stat reduce at 12.5–25% VPU-lane occupancy —
+    ~26% of the flagship step's device time sat in f32[8,C] stat chains at
+    ~42 GB/s. Reducing over H with W·C (= 2048–8192) in the minor dimension
+    fills all 128 lanes; the residual (B,W,C)→(B,C) reduce is 65k elements.
+    Variance is the single-pass E[x²]−E[x]² form (f32 accumulation; for the
+    unit-scale activations these layers see, cancellation error is ~1e-7
+    relative — pinned against the two-pass form in tests)."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32)
+    xr = xf.reshape(b, h, w * c)
+    s1 = jnp.sum(xr, axis=1)  # (B, W·C), full lanes
+    q1 = jnp.sum(xr * xr, axis=1)
+    n = h * w
+    s = jnp.sum(s1.reshape(b, w, c), axis=1)
+    q = jnp.sum(q1.reshape(b, w, c), axis=1)
+    mean = (s / n)[:, None, None, :]
+    var = (q / n)[:, None, None, :] - mean * mean
+    return ((xf - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)).astype(
+        x.dtype
+    )
+
+
+_IN_IMPLS = {
+    "baseline": _instance_norm_twopass,
+    "twopass": _instance_norm_twopass,
+    "lanepacked": _instance_norm_lanepacked,
+}
+
+
 def instance_norm(x, eps: float = 1e-5):
     """Per-sample, per-channel normalization over H,W; no affine params.
 
     Spec: torch `nn.InstanceNorm2d(out_channels)` defaults as used throughout
     `src/networks/blocks.py`. Statistics in float32 regardless of input dtype.
+
+    Implementation is selectable via MEDIMG_IN_IMPL (read per call so tests
+    and benches can flip it): "twopass" (default) or "lanepacked" (see
+    `_instance_norm_lanepacked`; tools/bench_instance_norm.py measures both).
     """
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.var(xf, axis=(1, 2), keepdims=True)
-    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    import os
+
+    impl = _IN_IMPLS[os.environ.get("MEDIMG_IN_IMPL", "twopass")]
+    return impl(x, eps)
 
 
 def nearest_upsample(x, factor: int = 2):
