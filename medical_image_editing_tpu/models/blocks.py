@@ -81,12 +81,14 @@ def instance_norm(x, eps: float = 1e-5):
     `src/networks/blocks.py`. Statistics in float32 regardless of input dtype.
 
     Implementation is selectable via MEDIMG_IN_IMPL (read per call so tests
-    and benches can flip it): "twopass" (default) or "lanepacked" (see
-    `_instance_norm_lanepacked`; tools/bench_instance_norm.py measures both).
+    and benches can flip it): "lanepacked" (default — measured +7.0%
+    flagship-step throughput on v5e, 42.43 vs 39.64 img/s/chip, PERF.md
+    "Fused lane-packed InstanceNorm") or "twopass" (the reference-shaped
+    two-pass form; tools/bench_instance_norm.py measures both).
     """
     import os
 
-    impl = _IN_IMPLS[os.environ.get("MEDIMG_IN_IMPL", "twopass")]
+    impl = _IN_IMPLS[os.environ.get("MEDIMG_IN_IMPL", "lanepacked")]
     return impl(x, eps)
 
 
