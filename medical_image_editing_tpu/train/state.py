@@ -77,13 +77,28 @@ def unshare_buffers(tree):
 
 def make_optimizer(lr: float, b1: float = 0.9, b2: float = 0.999, weight_decay: float = 0.0):
     """torch.optim.Adam parity: weight decay added to the gradient *before*
-    the moment updates (spec: `base.py:164-183`)."""
+    the moment updates (spec: `base.py:164-183`).
+
+    MEDIMG_FLAT_OPT=1 wraps the chain in `optax.flatten`: Adam then runs on
+    ONE raveled parameter vector instead of ~100 per-leaf updates. Adam is
+    purely elementwise, so the math is bit-identical; the point is TPU lane
+    occupancy — the round-4 profiler trace shows ~14.5 ms/step of bf16[32]
+    per-channel update fusions that a single lane-dense vector collapses
+    into a few large ops (measured in tools/bench_flat_opt.py; PERF.md).
+    NB the optimizer *state layout* changes (flat vectors), so checkpoints
+    written with the flag on/off are not interchangeable.
+    """
+    import os
+
     txs = []
     if weight_decay:
         txs.append(optax.add_decayed_weights(weight_decay))
     txs.append(optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8))
     txs.append(optax.scale(-lr))
-    return optax.chain(*txs)
+    tx = optax.chain(*txs)
+    if os.environ.get("MEDIMG_FLAT_OPT", "0") == "1":
+        tx = optax.flatten(tx)
+    return tx
 
 
 def make_optimizer_from_config(optim_cfg):
