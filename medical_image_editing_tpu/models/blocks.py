@@ -19,6 +19,7 @@ TPU-first notes:
   no init parity is attempted.
 """
 
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -67,10 +68,66 @@ def _instance_norm_lanepacked(x, eps: float = 1e-5):
     )
 
 
+def _lanepacked_sum(xf):
+    """Sum a f32 (B,H,W,C) tensor over (H,W) via the lane-dense (B,H,W·C)
+    view; returns (B,C). The building block both the lanepacked forward and
+    its custom backward share."""
+    b, h, w, c = xf.shape
+    s1 = jnp.sum(xf.reshape(b, h, w * c), axis=1)
+    return jnp.sum(s1.reshape(b, w, c), axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _instance_norm_lanepacked_cvjp(x, eps: float = 1e-5):
+    return _instance_norm_lanepacked(x, eps)
+
+
+def _in_cvjp_fwd(x, eps):
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32)
+    n = h * w
+    mean = (_lanepacked_sum(xf) / n)[:, None, None, :]
+    var = (_lanepacked_sum(xf * xf) / n)[:, None, None, :] - mean * mean
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    y = (xf - mean) * rstd
+    return y.astype(x.dtype), (y.astype(x.dtype), rstd)
+
+
+def _in_cvjp_bwd(eps, res, dy):
+    """Analytic InstanceNorm gradient with lane-packed reductions.
+
+    Why this exists (round-4 trace, PERF.md): autodiff of the normalize
+    term emits its own channel-minor mean(dy)/mean(dy·y) reductions over
+    (H,W) — the same fractional-lane shape the lanepacked forward
+    eliminates. The standard analytic form
+        dx = rstd · (dy − mean(dy) − y · mean(dy·y))
+    needs exactly two reductions, both computable through the lane-dense
+    view. Saving (y, rstd) instead of x keeps the residual footprint equal
+    to autodiff's and makes the backward recompute-free.
+    """
+    y_sv, rstd = res
+    b, h, w, c = y_sv.shape
+    n = h * w
+    dyf = dy.astype(jnp.float32)
+    yf = y_sv.astype(jnp.float32)
+    m_dy = (_lanepacked_sum(dyf) / n)[:, None, None, :]
+    m_dyy = (_lanepacked_sum(dyf * yf) / n)[:, None, None, :]
+    dx = rstd * (dyf - m_dy - yf * m_dyy)
+    return (dx.astype(y_sv.dtype),)
+
+
+_instance_norm_lanepacked_cvjp.defvjp(_in_cvjp_fwd, _in_cvjp_bwd)
+
+
 _IN_IMPLS = {
     "baseline": _instance_norm_twopass,
     "twopass": _instance_norm_twopass,
     "lanepacked": _instance_norm_lanepacked,
+    # analytic custom-VJP backward through the same lane-dense view —
+    # measured a wash vs autodiff (42.25 vs 42.43 img/s, PERF.md): AD of the
+    # lanepacked forward is already lane-dense, so the default stays the
+    # simpler autodiff form and this remains an A/B seam.
+    "lanepacked_cvjp": _instance_norm_lanepacked_cvjp,
 }
 
 
@@ -81,10 +138,13 @@ def instance_norm(x, eps: float = 1e-5):
     `src/networks/blocks.py`. Statistics in float32 regardless of input dtype.
 
     Implementation is selectable via MEDIMG_IN_IMPL (read per call so tests
-    and benches can flip it): "lanepacked" (default — measured +7.0%
-    flagship-step throughput on v5e, 42.43 vs 39.64 img/s/chip, PERF.md
-    "Fused lane-packed InstanceNorm") or "twopass" (the reference-shaped
-    two-pass form; tools/bench_instance_norm.py measures both).
+    and benches can flip it): "lanepacked" (default — reduces through a
+    lane-dense (B,H,W·C) view; measured +7.0% flagship-step throughput on
+    v5e, 42.43 vs 39.64 img/s/chip, PERF.md "Lane-packed InstanceNorm";
+    its autodiff backward is lane-dense too), "lanepacked_cvjp" (analytic
+    custom-VJP backward — measured a wash, kept as an A/B seam), or
+    "twopass" (the reference-shaped two-pass form;
+    tools/bench_instance_norm.py measures all).
     """
     import os
 

@@ -68,6 +68,51 @@ def test_instance_norm_lanepacked(rng):
         np.testing.assert_allclose(ga, gb, atol=max(3 * tol, 5e-5), rtol=1e-3)
 
 
+def test_instance_norm_custom_vjp_backward(rng):
+    """The default "lanepacked" impl carries an analytic custom VJP whose
+    backward reduces through the same lane-dense view (round-4, PERF.md):
+    forward must be bit-identical to the autodiff variant, and the gradient
+    must match autodiff of both the lanepacked and two-pass forms —
+    including non-symmetric upstream cotangents (a plain sum-of-squares
+    loss would not exercise the mean(dy) term)."""
+    from medical_image_editing_tpu.models.blocks import (
+        _instance_norm_lanepacked,
+        _instance_norm_lanepacked_cvjp,
+        _instance_norm_twopass,
+    )
+
+    x = rng.normal(0.5, 2.0, (2, 16, 8, 4)).astype(np.float32)
+    w = rng.normal(0.0, 1.0, (2, 16, 8, 4)).astype(np.float32)  # cotangent mixer
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+
+    np.testing.assert_array_equal(
+        np.asarray(_instance_norm_lanepacked_cvjp(xj)),
+        np.asarray(_instance_norm_lanepacked(xj)),
+    )
+
+    def loss(fn, v):
+        y = fn(v).astype(jnp.float32)
+        return jnp.sum(y * wj + 0.1 * y * y)
+
+    g_cvjp = np.asarray(jax.grad(lambda v: loss(_instance_norm_lanepacked_cvjp, v))(xj))
+    g_ad = np.asarray(jax.grad(lambda v: loss(_instance_norm_lanepacked, v))(xj))
+    g_two = np.asarray(jax.grad(lambda v: loss(_instance_norm_twopass, v))(xj))
+    np.testing.assert_allclose(g_cvjp, g_ad, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(g_cvjp, g_two, atol=1e-5, rtol=1e-5)
+
+    # bf16 activations: residual y is saved in bf16; gradient agreement is
+    # bounded by bf16 resolution but must stay well-formed
+    xb = xj.astype(jnp.bfloat16)
+    gb = np.asarray(
+        jax.grad(lambda v: loss(_instance_norm_lanepacked_cvjp, v))(xb), np.float32
+    )
+    gb_ad = np.asarray(
+        jax.grad(lambda v: loss(_instance_norm_lanepacked, v))(xb), np.float32
+    )
+    assert np.all(np.isfinite(gb))
+    np.testing.assert_allclose(gb, gb_ad, atol=3e-2, rtol=3e-2)
+
+
 def test_instance_norm_impl_env_switch(rng, monkeypatch):
     """MEDIMG_IN_IMPL selects the implementation at call time."""
     x = jnp.asarray(rng.normal(0.0, 1.0, (1, 8, 8, 2)).astype(np.float32))

@@ -113,7 +113,8 @@ def step(impl):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--micro", action="store_true")
-    ap.add_argument("--step", choices=["baseline", "lanepacked"])
+    ap.add_argument("--step",
+                    choices=["baseline", "lanepacked", "lanepacked_cvjp"])
     args = ap.parse_args()
     if args.micro:
         micro()
