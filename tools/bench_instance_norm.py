@@ -60,7 +60,8 @@ def micro():
                         ).astype(jnp.bfloat16)
 
         for name, fn in (("baseline", blocks._instance_norm_twopass),
-                         ("lanepacked", blocks._instance_norm_lanepacked)):
+                         ("lanepacked", blocks._instance_norm_lanepacked),
+                         ("lanepacked2p", blocks._instance_norm_lanepacked2p)):
             fwd = jax.jit(fn)
             # scalar readout forces the full chain; grad exercises the
             # backward reduction/broadcast structure the train step has
@@ -114,7 +115,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--micro", action="store_true")
     ap.add_argument("--step",
-                    choices=["baseline", "lanepacked", "lanepacked_cvjp"])
+                    choices=["baseline", "lanepacked", "lanepacked_cvjp",
+                             "lanepacked2p", "lanepacked_shift"])
     args = ap.parse_args()
     if args.micro:
         micro()
