@@ -75,6 +75,16 @@ def unshare_buffers(tree):
     return jax.jit(lambda t: jax.tree.map(copy, t))(tree)
 
 
+def optimizer_layout() -> str:
+    """The optimizer-state pytree layout the current environment produces:
+    "flat" under MEDIMG_FLAT_OPT=1 (optax.flatten), else "nested". Recorded
+    in checkpoint sidecars so a restore with the flag flipped fails with a
+    clear message instead of an Orbax structure mismatch (ADVICE r4)."""
+    import os
+
+    return "flat" if os.environ.get("MEDIMG_FLAT_OPT", "0") == "1" else "nested"
+
+
 def make_optimizer(lr: float, b1: float = 0.9, b2: float = 0.999, weight_decay: float = 0.0):
     """torch.optim.Adam parity: weight decay added to the gradient *before*
     the moment updates (spec: `base.py:164-183`).
@@ -86,7 +96,10 @@ def make_optimizer(lr: float, b1: float = 0.9, b2: float = 0.999, weight_decay: 
     per-channel update fusions that a single lane-dense vector collapses
     into a few large ops (measured in tools/bench_flat_opt.py; PERF.md).
     NB the optimizer *state layout* changes (flat vectors), so checkpoints
-    written with the flag on/off are not interchangeable.
+    written with the flag on/off are not interchangeable — the layout is
+    recorded in an `optimizer_layout.json` sidecar at save time and
+    restores fail with an actionable message on mismatch (ADVICE r4;
+    utils/checkpoint._check_layout_sidecar).
     """
     import os
 

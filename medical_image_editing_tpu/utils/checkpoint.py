@@ -74,6 +74,7 @@ class CheckpointManager:
         # is committed, so pruning below can never leave zero checkpoints
         self._ckptr.wait_until_finished()
         self._prune()
+        _write_layout_sidecar(self.directory)
         self._ckptr.save(path, state, force=True)
         if not self.use_async:
             # synchronous: the new checkpoint is committed before pruning, so
@@ -146,6 +147,7 @@ class CheckpointManager:
         restores that epoch's most recent save; otherwise the newest overall
         (which may be a mid-epoch step-tagged save — the trainer's resume
         logic replays the unseen tail from `state.step`)."""
+        _check_layout_sidecar(self.directory)
         entries = self._entries()
         if epoch is not None:
             entries = [x for x in entries if x[0] == epoch]
@@ -156,12 +158,56 @@ class CheckpointManager:
         return self._ckptr.restore(path, target=target)
 
 
+_LAYOUT_SIDECAR = "optimizer_layout.json"
+
+
+def _write_layout_sidecar(directory: str):
+    """Record which optimizer-state pytree layout (nested vs MEDIMG_FLAT_OPT
+    flat vectors) this run's checkpoints carry, so a restore under the other
+    layout fails with an actionable message instead of an opaque Orbax
+    structure mismatch (ADVICE r4, train/state.py:make_optimizer)."""
+    import json
+
+    from ..train.state import optimizer_layout
+
+    try:
+        with open(os.path.join(directory, _LAYOUT_SIDECAR), "w") as f:
+            json.dump({"optimizer_layout": optimizer_layout()}, f)
+    except OSError:
+        pass  # sidecar is best-effort; never block a save
+
+
+def _check_layout_sidecar(directory: str):
+    import json
+
+    from ..train.state import optimizer_layout
+
+    p = os.path.join(directory, _LAYOUT_SIDECAR)
+    if not os.path.exists(p):
+        return  # pre-round-5 checkpoint dirs carry no sidecar
+    try:
+        with open(p) as f:
+            saved = json.load(f).get("optimizer_layout")
+    except (OSError, ValueError):
+        return
+    now = optimizer_layout()
+    if saved and saved != now:
+        raise ValueError(
+            f"checkpoint at {directory} was written with optimizer_layout="
+            f"'{saved}' but this process would restore with '{now}' "
+            f"(MEDIMG_FLAT_OPT={'1' if now == 'flat' else '0'}). The "
+            "optimizer-state pytrees are incompatible; set MEDIMG_FLAT_OPT="
+            f"{'1' if saved == 'flat' else '0'} to match the checkpoint."
+        )
+
+
 def restore_state(ckpt_dir_or_path: str, target_state, epoch: Optional[int] = None):
     """Full-state restore accepting either a checkpoint parent directory or a
     specific `ckpt-epoch=NNNN[-step=M]` subdirectory — the same affordance
     `restore_fields` gives the staged-load paths."""
     path = ckpt_dir_or_path
     if _CKPT_RE.search(os.path.basename(os.path.normpath(path))):
+        _check_layout_sidecar(os.path.dirname(os.path.abspath(path)))
         return ocp.StandardCheckpointer().restore(
             os.path.abspath(path), target=target_state
         )

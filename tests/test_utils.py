@@ -87,6 +87,37 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.vq.embed), np.asarray(state.vq.embed))
 
 
+def test_checkpoint_optimizer_layout_sidecar(tmp_path, monkeypatch):
+    """ADVICE r4: checkpoints record the optimizer-state layout (nested vs
+    MEDIMG_FLAT_OPT flat); restoring under the other layout must fail with an
+    actionable message naming the flag, not an Orbax structure mismatch."""
+    import pytest
+
+    monkeypatch.setenv("MEDIMG_FLAT_OPT", "0")
+    state = _tiny_state(1)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(state, epoch=0)
+
+    # same layout: restores fine
+    mgr.restore(_tiny_state(0))
+
+    monkeypatch.setenv("MEDIMG_FLAT_OPT", "1")
+    with pytest.raises(ValueError, match="MEDIMG_FLAT_OPT"):
+        mgr.restore(_tiny_state(0))
+
+    from medical_image_editing_tpu.utils.checkpoint import restore_state
+
+    with pytest.raises(ValueError, match="MEDIMG_FLAT_OPT"):
+        restore_state(mgr.latest_path(), _tiny_state(0))
+
+    # pre-round-5 dirs (no sidecar) keep working
+    import os
+
+    os.remove(str(tmp_path / "ck" / "optimizer_layout.json"))
+    monkeypatch.setenv("MEDIMG_FLAT_OPT", "0")
+    mgr.restore(_tiny_state(0))
+
+
 def test_checkpoint_retention_policy(tmp_path):
     state = _tiny_state(0)
     mgr = CheckpointManager(str(tmp_path / "c"), limit_num=2, save_interval=3)
