@@ -106,7 +106,7 @@ def conv3x3_packed(x, w, *, row_tile: int = 64, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((b, h // tr, tr, g, 4 * cout), x.dtype),
         grid=(b, h // tr),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
