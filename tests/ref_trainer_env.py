@@ -571,7 +571,10 @@ def make_ref_config(
     optim = dict(lr=lr, b1=0.9, b2=0.999, weight_decay=0.0)
     return NS(
         run=NS(training_mode=training_mode, num_gpus=1),
-        dataset=NS(dataset_name="CRCDataset", image_size=list(image_size)),
+        # window_* feed to_lung/to_mediastinal (`base.py:290-314`) — only the
+        # MultiWindowTrainer paths read them
+        dataset=NS(dataset_name="CRCDataset", image_size=list(image_size),
+                   window_width=1500, window_center=-550, window_scale=2.0),
         model=NS(
             vqmodel=NS(
                 in_channels=1, enc_filters=list(filters),
@@ -590,6 +593,11 @@ def make_ref_config(
         ),
         loss=NS(
             loss_weight=NS(**w),
+            # per-window weights (identity, lung, mediastinal) — only the
+            # MultiWindowTrainer paths read them
+            recon_weights=[1.0, 0.5, 0.25],
+            freq_weights=[0.5, 0.25, 0.125],
+            percep_weights=[0.0, 0.0, 0.0],
             embed_loss=NS(margin=0.5, use_distance_loss=True,
                           use_regularization_loss=True),
             use_recon_loss=True, use_l1_loss=use_l1_loss,
