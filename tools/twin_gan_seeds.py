@@ -1,0 +1,122 @@
+"""Multi-seed GAN-twin protocol with PRE-REGISTERED bounds (VERDICT r4 weak
+#5 / item 6).
+
+Round 4's single-seed 150-step GAN twin stated tolerances suspiciously close
+to the one measured run, and put no bound on the trajectory tails. This
+runner fixes both, in this order:
+
+  1. The bounds below were written BEFORE any seed of this protocol ran
+     (git history of this file is the registration record). They are the
+     slow-tier test's long-standing bounds plus an explicit p90 trajectory
+     bound, NOT tuned to these runs:
+
+       BOUNDS (every seed must satisfy all):
+         trajectory rel-Δ median  ≤ 1e-2   (total, dis_total, cutmix)
+         trajectory rel-Δ p90     ≤ 1e-1   (total, dis_total, cutmix)
+         held-out PSNR delta      ≤ 0.3 dB
+         held-out SSIM delta      ≤ 0.03
+         D(real)/D(fake) map-mean ≤ 0.1
+
+  2. Seeds 0, 1, 2 run the identical 150-step / 128² / batch-2 protocol
+     (seed feeds torch.manual_seed → reference init weights, and the
+     synthetic train/eval datasets; everything else is the matched-
+     determinism protocol of tools/twin_training.py).
+
+  3. The full per-seed delta distribution is reported (median/p90/max
+     trajectory; PSNR/SSIM; D-map means) — pass/fail per bound per seed.
+
+One seed cannot distinguish "within GAN float-noise" from "small systematic
+drift"; three seeds with pre-stated bounds can. Results → PERF.md ("Twin
+training: GAN second stage, multi-seed").
+
+Run: python tools/twin_gan_seeds.py [--steps 150] [--out twin_gan_seeds.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BOUNDS = {
+    "traj_median": 1e-2,
+    "traj_p90": 1e-1,
+    "psnr_db": 0.3,
+    "ssim": 0.03,
+    "map_mean": 0.1,
+}
+TRAJ_KEYS = ("total", "dis_total", "cutmix")
+
+
+def check(res):
+    """Evaluate one seed's result dict against the pre-registered bounds;
+    returns (ok, failures)."""
+    fails = []
+    for k in TRAJ_KEYS:
+        t = res["trajectory"][k]
+        if t["median"] > BOUNDS["traj_median"]:
+            fails.append(f"traj {k} median {t['median']:.2e}")
+        if t["p90"] > BOUNDS["traj_p90"]:
+            fails.append(f"traj {k} p90 {t['p90']:.2e}")
+    d = res["deltas"]
+    if d["psnr_db"] > BOUNDS["psnr_db"]:
+        fails.append(f"psnr {d['psnr_db']:.4f}")
+    if d["ssim"] > BOUNDS["ssim"]:
+        fails.append(f"ssim {d['ssim']:.4f}")
+    for k in ("real_map_mean", "fake_map_mean"):
+        if d[k] > BOUNDS["map_mean"]:
+            fails.append(f"{k} {d[k]:.4f}")
+    return not fails, fails
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--out", default="twin_gan_seeds.json")
+    args = ap.parse_args()
+
+    from twin_training import run_twin_gan
+
+    all_res = {}
+    for seed in args.seeds:
+        print(f"=== seed {seed} ({args.steps} steps) ===", flush=True)
+        res = run_twin_gan(steps=args.steps, seed=seed, quiet=False,
+                           log_every=25)
+        res.pop("curves", None)
+        ok, fails = check(res)
+        all_res[str(seed)] = {"result": res, "ok": ok, "failures": fails}
+        d = res["deltas"]
+        print(f"seed {seed}: {'PASS' if ok else 'FAIL ' + str(fails)} | "
+              f"PSNR Δ {d['psnr_db']:.4f} dB, SSIM Δ {d['ssim']:.5f}, "
+              f"D-map Δ r={d['real_map_mean']:.4f} f={d['fake_map_mean']:.4f}",
+              flush=True)
+
+    summary = {
+        "bounds": BOUNDS,
+        "in_impl": os.environ.get("MEDIMG_IN_IMPL", "(default)"),
+        "seeds": {
+            s: {
+                "ok": v["ok"],
+                "failures": v["failures"],
+                "deltas": v["result"]["deltas"],
+                "traj": {k: {kk: v["result"]["trajectory"][k][kk]
+                             for kk in ("median", "p90", "max")}
+                         for k in TRAJ_KEYS},
+            }
+            for s, v in all_res.items()
+        },
+        "all_pass": all(v["ok"] for v in all_res.values()),
+    }
+    with open(args.out, "w") as f:
+        json.dump({"summary": summary, "full": all_res}, f, indent=1)
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()
