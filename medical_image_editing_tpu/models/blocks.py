@@ -20,11 +20,60 @@ TPU-first notes:
 """
 
 import functools
-from typing import Any, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+_NHWC_SPECS = ((0, 3, 1, 2), (3, 2, 0, 1), (0, 3, 1, 2))
+
+
+def _conv_dispatch(lhs, rhs, strides, padding, *, lhs_dilation=None,
+                   rhs_dilation=None, dimension_numbers=None,
+                   feature_group_count=1, precision=None):
+    """flax `conv_general_dilated` hook: route eligible 3×3 SAME stride-1
+    NHWC convs to the lane-packed Pallas kernel (ops/conv_pack.py) when
+    MEDIMG_CONV_IMPL=packed; everything else falls through to XLA.
+
+    Why: at the flagship decoder widths (C=32, 256²) XLA's conv emitter is
+    pinned at 25% MXU N-occupancy; the packed kernel measured −27% device
+    time at that exact shape (PERF.md "Pallas lane-packed conv"). The
+    backward rides the same kernel for dx (a flipped 3×3 conv) and XLA for
+    dw — see conv3x3_packed_trainable."""
+    import os
+
+    if os.environ.get("MEDIMG_CONV_IMPL", "xla") == "packed":
+        from ..ops.conv_pack import conv3x3_packed_trainable, packed_eligible
+
+        dn_ok = (
+            dimension_numbers is None
+            or tuple(dimension_numbers) == _NHWC_SPECS
+        )
+        pad_ok = padding == "SAME" or (
+            not isinstance(padding, str)
+            and tuple(tuple(p) for p in padding) == ((1, 1), (1, 1))
+        )
+        if (dn_ok and pad_ok and rhs.ndim == 4 and rhs.shape[:2] == (3, 3)
+                and lhs.dtype == rhs.dtype
+                and lhs_dilation in (None, (1, 1))
+                and packed_eligible(lhs.shape, (3, 3), tuple(strides),
+                                    "SAME", rhs_dilation,
+                                    feature_group_count)):
+            return conv3x3_packed_trainable(lhs, rhs)
+    return jax.lax.conv_general_dilated(
+        lhs, rhs, strides, padding, lhs_dilation=lhs_dilation,
+        rhs_dilation=rhs_dilation, dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count, precision=precision,
+    )
+
+
+class Conv(nn.Conv):
+    """nn.Conv with the packed-conv dispatch hook. The subclass keeps the
+    class NAME `Conv`, so flax auto-naming (`Conv_0`, …) and therefore every
+    param tree, checkpoint, and torch-transplant mapping are unchanged."""
+
+    conv_general_dilated: Optional[Callable] = _conv_dispatch
 
 # compute dtype plumbing: params stay float32; activations/conv compute run in
 # `dtype` (bfloat16 on TPU doubles MXU rate and halves HBM traffic). Norm
@@ -240,9 +289,9 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         x = nn.relu(instance_norm(x))
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         if self.use_output_act:
             x = nn.relu(instance_norm(x))
         return x
@@ -260,7 +309,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         identity = instance_norm(
-            nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+            Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         )
         out = DoubleConv(self.features, dtype=self.dtype)(x)
         out = nn.relu(out + identity)
@@ -305,10 +354,10 @@ class StyledDenorm(nn.Module):
         )(x)
         style = style.astype(x.dtype)
         actv = nn.relu(
-            nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(style)
+            Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(style)
         )
-        gamma = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(actv)
-        beta = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(actv)
+        gamma = Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(actv)
+        beta = Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(actv)
         return normalized * (1.0 + gamma) + beta
 
 
@@ -329,24 +378,24 @@ class StyledResUpBlock(nn.Module):
     def __call__(self, down_input, skip_input, train: bool = True):
         in_ch = down_input.shape[-1]
         if self.use_pixel_shuffle:
-            x = nn.Conv(in_ch * 4, (3, 3), padding="SAME", dtype=self.dtype)(down_input)
+            x = Conv(in_ch * 4, (3, 3), padding="SAME", dtype=self.dtype)(down_input)
             x = pixel_shuffle(x, 2)
         else:
             x = nearest_upsample(down_input)
 
         s = nn.relu(
             instance_norm(
-                nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+                Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
             )
         )
 
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         x = StyledDenorm(self.features, axis_name=self.axis_name, dtype=self.dtype)(
             x, skip_input, train
         )
         x = nn.relu(x)
 
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         x = StyledDenorm(self.features, axis_name=self.axis_name, dtype=self.dtype)(
             x, skip_input, train
         )
@@ -372,12 +421,12 @@ class ASPP(nn.Module):
         outs = [
             nn.relu(
                 instance_norm(
-                    nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+                    Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
                 )
             )
         ]
         for rate in self.rates:
-            y = nn.Conv(
+            y = Conv(
                 self.features,
                 (3, 3),
                 padding=[(rate, rate), (rate, rate)],

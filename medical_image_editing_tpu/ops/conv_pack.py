@@ -63,7 +63,7 @@ def pack_weights(w):
     return wb.reshape(3 * 6 * cin, 4 * cout)
 
 
-def _kernel(x_hbm, wbig, out_ref, xtile, patches, sem, *, tr, g, cin):
+def _kernel(x_hbm, wbig, out_ref, xtile, sem, *, tr, g, cin):
     b = pl.program_id(0)
     t = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -71,16 +71,84 @@ def _kernel(x_hbm, wbig, out_ref, xtile, patches, sem, *, tr, g, cin):
     )
     dma.start()
     dma.wait()
+    # Patch assembly happens on the VALUE (vector) level, not via ref
+    # slices: Mosaic's memref_slice requires sublane-tiling-aligned offsets
+    # (the group dim is sublane-tiled in the rank-3 VMEM tile), while value
+    # slices at offsets 1/2 and 32-lane sub-extractions lower to supported
+    # sublane-shift / lane-rotate relayouts.
+    xv = xtile[:]  # (tr+2, gp, 4·cin)
     m = tr * g
+    pieces = []
     for i in range(3):
-        for s, (o, pos) in enumerate(_S_TO_GROUP_POS):
-            k = i * 6 + s
-            patches[:, k * cin:(k + 1) * cin] = (
-                xtile[i:i + tr, o:o + g, pos * cin:(pos + 1) * cin]
-                .reshape(m, cin)
+        for o, pos in _S_TO_GROUP_POS:
+            pieces.append(
+                jax.lax.slice(
+                    xv, (i, o, pos * cin), (i + tr, o + g, (pos + 1) * cin)
+                ).reshape(m, cin)
             )
-    acc = jnp.dot(patches[:], wbig[:], preferred_element_type=jnp.float32)
+    patches = jnp.concatenate(pieces, axis=1)  # (m, 18·cin)
+    acc = jnp.dot(patches, wbig[:], preferred_element_type=jnp.float32)
     out_ref[0, 0] = acc.reshape(tr, g, wbig.shape[1]).astype(out_ref.dtype)
+
+
+@jax.custom_vjp
+def conv3x3_packed_trainable(x, w):
+    """conv3x3_packed with an analytic backward:
+
+      dx = conv3x3_packed(dy, rot180(w)ᵀ)   — the input-gradient of a SAME
+           stride-1 3×3 conv is itself a SAME 3×3 conv with the kernel
+           spatially flipped and channel-transposed, so it rides the same
+           lane-packed MXU path (the decoder backward is ~69% of the
+           flagship step, PERF.md trace);
+      dw = XLA's transposed conv (conv is linear in w; `jax.vjp` of the
+           reference conv wrt w only — no dx double-compute). The weight-
+           gradient GEMM has K = B·H·W and tiny M/N, a different shape
+           class the packed trick does not help.
+    """
+    return conv3x3_packed(x, w)
+
+
+def _c3p_fwd(x, w):
+    return conv3x3_packed(x, w), (x, w)
+
+
+def _c3p_bwd(res, dy):
+    x, w = res
+    w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = conv3x3_packed(dy, w_t.astype(dy.dtype))
+
+    def ref_conv(wv):
+        return jax.lax.conv_general_dilated(
+            x, wv, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    _, vjp = jax.vjp(ref_conv, w)
+    (dw,) = vjp(dy.astype(x.dtype))
+    return dx.astype(x.dtype), dw
+
+
+conv3x3_packed_trainable.defvjp(_c3p_fwd, _c3p_bwd)
+
+
+def packed_eligible(x_shape, kernel_size, strides, padding, dilation,
+                    groups: int, row_tile: int = 64) -> bool:
+    """Static eligibility for the packed path: SAME stride-1 undilated 3×3,
+    no feature groups, W % 4 == 0, H % row_tile == 0, 4·Cin lane-aligned."""
+    if tuple(kernel_size) != (3, 3) or groups != 1:
+        return False
+    if strides not in (None, 1, (1, 1)) or dilation not in (None, 1, (1, 1)):
+        return False
+    if not (padding == "SAME" or padding == [(1, 1), (1, 1)]
+            or padding == ((1, 1), (1, 1))):
+        return False
+    if len(x_shape) != 4:
+        return False
+    import math
+
+    _, h, wdt, cin = x_shape
+    # gcd(H, 64) < 8 would force inefficiently thin row tiles on TPU
+    return (wdt % 4 == 0 and math.gcd(h, row_tile) >= 8
+            and (4 * cin) % 128 == 0)
 
 
 def conv3x3_packed(x, w, *, row_tile: int = 64, interpret: bool = False):
@@ -90,14 +158,26 @@ def conv3x3_packed(x, w, *, row_tile: int = 64, interpret: bool = False):
     must be 128-lane friendly (the flagship case is Cin = Cout = 32).
     Returns (B, H, W, Cout) in x.dtype.
     """
+    import math
+
     b, h, wdt, cin = x.shape
     _, _, _, cout = w.shape
-    assert wdt % 4 == 0 and h % row_tile == 0, (h, wdt, row_tile)
+    assert wdt % 4 == 0, (h, wdt)
+    # largest power-of-two-ish tile that divides H (gcd with the request)
+    row_tile = math.gcd(h, row_tile)
+    # CPU (tests, twins, virtual meshes) runs the kernel in interpret mode
+    interpret = interpret or jax.default_backend() == "cpu"
+    # Mosaic lane slices must be 128-aligned: the 4-pixel packing needs
+    # 4·Cin ≥ one full lane tile (Cin = 16 would need an 8-pixel packing)
+    assert interpret or (4 * cin) % 128 == 0, cin
     g = wdt // 4
     tr = row_tile
+    # group dim of the packed view is sublane-tiled on TPU: pad G+2 up to a
+    # multiple of 8 so the halo-band DMA shape is tiling-aligned
+    gp = -(-(g + 2) // 8) * 8
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (4, 4), (0, 0)))
-    xv = xp.reshape(b, h + 2, g + 2, 4 * cin)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (4, 4 + 4 * (gp - g - 2)), (0, 0)))
+    xv = xp.reshape(b, h + 2, gp, 4 * cin)
     wbig = pack_weights(w.astype(x.dtype))
 
     kern = functools.partial(_kernel, tr=tr, g=g, cin=cin)
@@ -114,8 +194,7 @@ def conv3x3_packed(x, w, *, row_tile: int = 64, interpret: bool = False):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((tr + 2, g + 2, 4 * cin), x.dtype),
-            pltpu.VMEM((tr * g, 18 * cin), x.dtype),
+            pltpu.VMEM((tr + 2, gp, 4 * cin), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

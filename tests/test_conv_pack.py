@@ -82,6 +82,49 @@ def test_conv3x3_packed_multi_row_tile(rng):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
 
 
+def test_conv3x3_packed_trainable_grads(rng):
+    """The custom VJP (packed dx via the flipped kernel, XLA dw) must match
+    autodiff of the XLA conv for both operands."""
+    from medical_image_editing_tpu.ops.conv_pack import conv3x3_packed_trainable
+
+    b, h, w_, cin, cout = 1, 8, 8, 4, 4
+    x = jnp.asarray(rng.normal(size=(b, h, w_, cin)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b, h, w_, cout)).astype(np.float32))
+
+    def loss(fn, xx, kk):
+        return jnp.sum(fn(xx, kk) * cot)
+
+    gx_p, gk_p = jax.grad(
+        lambda xx, kk: loss(lambda a, b2: conv3x3_packed_trainable(a, b2),
+                            xx, kk), argnums=(0, 1))(x, k)
+    gx_r, gk_r = jax.grad(
+        lambda xx, kk: loss(_ref_conv, xx, kk), argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv_dispatch_flag(rng, monkeypatch):
+    """MEDIMG_CONV_IMPL=packed routes eligible blocks.Conv calls through the
+    packed kernel with identical results (and identical param trees) to the
+    XLA default; ineligible shapes (here C=3 → 4·C < 128... eligibility is
+    static) silently fall through."""
+    from medical_image_editing_tpu.models.blocks import DoubleConv
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 32)).astype(np.float32))
+    mod = DoubleConv(32)
+    monkeypatch.setenv("MEDIMG_CONV_IMPL", "xla")
+    v = mod.init(jax.random.key(0), x)
+    a = np.asarray(mod.apply(v, x))
+    monkeypatch.setenv("MEDIMG_CONV_IMPL", "packed")
+    v2 = mod.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    b2 = np.asarray(mod.apply(v, x))
+    np.testing.assert_allclose(a, b2, atol=2e-4, rtol=1e-4)
+
+
 def test_conv3x3_packed_bf16(rng):
     """bf16 operands accumulate in f32 (preferred_element_type) like XLA's
     conv — agreement is bounded by bf16 input resolution only."""
