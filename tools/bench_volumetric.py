@@ -72,7 +72,10 @@ def run_tpu():
 def run_tpu128():
     """128^3 on ONE chip: bf16 activations + per-block remat.
 
-    Memory plan (f32/no-remat would NOT fit): a 128^3 volume through
+    Memory plan (round-5 correction: the compiler plans f32/no-remat at
+    12.37 GiB — it DOES fit a 16 GiB chip, see --analyze128; the hand
+    estimate below overcounted by ignoring XLA buffer reuse): a 128^3
+    volume through
     filters (8,16,32,64) produces ~2.1 M voxels x 8 ch = 16.8 M activations
     at full res per conv output; the two U-Nets have ~22 conv outputs at
     full-res-equivalent cost, i.e. ~11 GB of f32 activations held for
