@@ -64,6 +64,7 @@ def run_edit_benchmarks(budget_s: float = None):
                           "unit": UNITS[name], "vs_baseline": None}))
 
     UNITS = {
+        "edit_device_ms_512": "ms/slice(device)",
         "edit_latency_p50_512": "ms/slice",
         "edit_latency_p50_512_uint8": "ms/slice",
         "edit_latency_p50_512_int8": "ms/slice",
@@ -131,6 +132,40 @@ def run_edit_benchmarks(budget_s: float = None):
             np.asarray(out)
             best = max(best, n * 32 / (time.perf_counter() - t0))
         return round(best, 1)
+
+    def device_p50(n_chain=20, reps=10, **kw):
+        """Device-time per-slice decode (VERDICT r4 weak #3): the wall-clock
+        p50 conflates ~45 ms device compute with a ±30% tunnel-RPC tail,
+        making rounds incomparable. This chains n_chain decodes inside ONE
+        dispatch (`lax.scan` rolled loop — the body executes n_chain times
+        on device, no host round trips) and reduces each decode to a scalar,
+        so wall/n_chain ≈ device time + RPC/n_chain (<1 ms at n_chain=20).
+        Acceptance (VERDICT): consecutive bench runs agree within ~10%."""
+        edit1 = make_batched_edit_fn(dec, is_lung=True, **kw)
+
+        def chained(dec_vars, vq_state, ids):
+            def body(c, _):
+                # thread the carry into the ids (runtime-zero, statically
+                # opaque) — without this XLA hoists the loop-invariant
+                # decode out of the scan and the "chain" times ONE decode
+                ids_dep = ids + (jnp.abs(c) * 1e-30).astype(jnp.int32)
+                out = edit1(dec_vars, vq_state, ids_dep)
+                return c + jnp.sum(out.astype(jnp.float32)), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_chain)
+            return c
+
+        jc = jax.jit(chained)
+        assert np.isfinite(float(jc(dec_vars, vq, ids1)))  # compile
+        lats = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            v = float(jc(dec_vars, vq, ids1))
+            lats.append((time.perf_counter() - t0) * 1000 / n_chain)
+        assert np.isfinite(v)
+        return round(float(np.percentile(lats, 50)), 2)
+
+    run_phase("edit_device_ms_512", lambda: device_p50())
 
     # serving-path variants: uint8 = on-device [-1,1]→[0,255] quantization
     # (PNG consumers; 4× smaller device→host transfer); int8 = every decoder
