@@ -17,6 +17,14 @@ parity bug) survives averaging.
 
 Run: python tools/twin_seed_mean.py [--seeds 0 1 2 3 4] [--steps 300]
 Results → PERF.md ("Twin training, seed-averaged").
+
+OUTCOME (2026-08-21, recorded for transparency): the registered 5-seed
+bound FAILED for BOTH the shipping default and the reference-shaped
+twopass control (+0.29 / +0.21 dB means, per-seed σ ≈ 0.3 dB) — the
+control failing falsifies the protocol's resolution assumption (SE at
+N=5 ≈ 0.13 > 0.1), not an implementation. Resolving a true 0.1 dB
+systematic difference needs N ≈ 35+ seeds; see PERF.md for the full
+analysis and the no-directional-bias evidence across 13 paired runs.
 """
 
 import argparse
