@@ -65,6 +65,7 @@ def run_edit_benchmarks(budget_s: float = None):
 
     UNITS = {
         "edit_device_ms_512": "ms/slice(device)",
+        "edit_device_throughput_batched32_512": "slices/sec/chip(device)",
         "edit_latency_p50_512": "ms/slice",
         "edit_latency_p50_512_uint8": "ms/slice",
         "edit_latency_p50_512_int8": "ms/slice",
@@ -165,7 +166,33 @@ def run_edit_benchmarks(budget_s: float = None):
         assert np.isfinite(v)
         return round(float(np.percentile(lats, 50)), 2)
 
+    def device_throughput_32(n_chain=8, reps=8, **kw):
+        """Batched-32 decode, device-time (same chained protocol as
+        device_p50; fewer links — each link is 32 slices of work)."""
+        edit32 = make_batched_edit_fn(dec, is_lung=True, **kw)
+
+        def chained(dec_vars, vq_state, ids):
+            def body(c, _):
+                ids_dep = ids + (jnp.abs(c) * 1e-30).astype(jnp.int32)
+                out = edit32(dec_vars, vq_state, ids_dep)
+                return c + jnp.sum(out.astype(jnp.float32)), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_chain)
+            return c
+
+        jc = jax.jit(chained)
+        assert np.isfinite(float(jc(dec_vars, vq, ids32)))  # compile
+        best = 0.0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            v = float(jc(dec_vars, vq, ids32))
+            best = max(best, n_chain * 32 / (time.perf_counter() - t0))
+        assert np.isfinite(v)
+        return round(best, 1)
+
     run_phase("edit_device_ms_512", lambda: device_p50())
+    run_phase("edit_device_throughput_batched32_512",
+              lambda: device_throughput_32())
 
     # serving-path variants: uint8 = on-device [-1,1]→[0,255] quantization
     # (PNG consumers; 4× smaller device→host transfer); int8 = every decoder
