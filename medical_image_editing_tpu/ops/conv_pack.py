@@ -146,9 +146,12 @@ def packed_eligible(x_shape, kernel_size, strides, padding, dilation,
     import math
 
     _, h, wdt, cin = x_shape
-    # gcd(H, 64) < 8 would force inefficiently thin row tiles on TPU
-    return (wdt % 4 == 0 and math.gcd(h, row_tile) >= 8
-            and (4 * cin) % 128 == 0)
+    # gcd(H, 64) < 8 would force inefficiently thin row tiles on TPU.
+    # Cin is pinned to exactly 32 (one lane tile): it is the only measured
+    # win shape (PERF.md — C=64 is a slight loss), and wider channels blow
+    # the VMEM budget (the (tr·g, 18·cin) patch value scales linearly with
+    # cin: 4.7 MB at 32, 23.6 MB at 160 → scoped-vmem OOM).
+    return wdt % 4 == 0 and math.gcd(h, row_tile) >= 8 and cin == 32
 
 
 def conv3x3_packed(x, w, *, row_tile: int = 64, interpret: bool = False):
@@ -165,11 +168,11 @@ def conv3x3_packed(x, w, *, row_tile: int = 64, interpret: bool = False):
     assert wdt % 4 == 0, (h, wdt)
     # largest power-of-two-ish tile that divides H (gcd with the request)
     row_tile = math.gcd(h, row_tile)
-    # CPU (tests, twins, virtual meshes) runs the kernel in interpret mode
-    interpret = interpret or jax.default_backend() == "cpu"
     # Mosaic lane slices must be 128-aligned: the 4-pixel packing needs
-    # 4·Cin ≥ one full lane tile (Cin = 16 would need an 8-pixel packing)
-    assert interpret or (4 * cin) % 128 == 0, cin
+    # 4·Cin a multiple of one lane tile (Cin = 16 would need an 8-pixel
+    # packing); unaligned channel counts run the interpreter everywhere
+    # (packed_eligible gates production dispatch to aligned shapes only)
+    interpret = interpret or (4 * cin) % 128 != 0
     g = wdt // 4
     tr = row_tile
     # group dim of the packed view is sublane-tiled on TPU: pad G+2 up to a
@@ -181,22 +184,38 @@ def conv3x3_packed(x, w, *, row_tile: int = 64, interpret: bool = False):
     wbig = pack_weights(w.astype(x.dtype))
 
     kern = functools.partial(_kernel, tr=tr, g=g, cin=cin)
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((b, h // tr, tr, g, 4 * cout), x.dtype),
-        grid=(b, h // tr),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, tr, g, 4 * cout), lambda i, t: (i, t, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tr + 2, gp, 4 * cin), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(xv, wbig)
+
+    def call(xv, wbig, *, interp):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(
+                (b, h // tr, tr, g, 4 * cout), x.dtype
+            ),
+            grid=(b, h // tr),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, tr, g, 4 * cout), lambda i, t: (i, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tr + 2, gp, 4 * cin), x.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interp,
+        )(xv, wbig)
+
+    if interpret:
+        out = call(xv, wbig, interp=True)
+    else:
+        # Decide per LOWERING platform, not per process: host-CPU staging
+        # (`jax.default_device(cpu)` init, the CPU twins, virtual meshes)
+        # must run the interpreter even when the default backend is a TPU.
+        out = jax.lax.platform_dependent(
+            xv, wbig,
+            cpu=functools.partial(call, interp=True),
+            default=functools.partial(call, interp=False),
+        )
     return out.reshape(b, h, g, 4, cout).reshape(b, h, wdt, cout)

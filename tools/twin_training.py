@@ -764,7 +764,7 @@ def main():
         return
 
     res = run_twin(steps=args.steps, size=args.size, batch=args.batch,
-                   use_flip_aug=not args.identity_aug)
+                   seed=args.seed, use_flip_aug=not args.identity_aug)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(res, f, indent=1)
