@@ -30,6 +30,15 @@ drift"; three seeds with pre-stated bounds can. Results → PERF.md ("Twin
 training: GAN second stage, multi-seed").
 
 Run: python tools/twin_gan_seeds.py [--steps 150] [--out twin_gan_seeds.json]
+
+OUTCOME (2026-08-21, recorded for transparency): all three seeds FAIL the
+registered bounds under the shipping default — and all three ALSO fail
+under the reference-shaped twopass control (seed 0 of the control
+reproduces round 4's published draw exactly and still fails the cutmix
+bound, which was mis-registered stricter than round 4's own published
+run). The seed-to-seed spread dominates any impl difference; see PERF.md
+"GAN second stage, multi-seed" for the distributions and the conclusion
+(the 25-step slow-tier test and step-0 exactness are the durable gates).
 """
 
 import argparse
