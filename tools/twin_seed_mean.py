@@ -25,6 +25,8 @@ control failing falsifies the protocol's resolution assumption (SE at
 N=5 ≈ 0.13 > 0.1), not an implementation. Resolving a true 0.1 dB
 systematic difference needs N ≈ 35+ seeds; see PERF.md for the full
 analysis and the no-directional-bias evidence across 13 paired runs.
+FINAL (round-5 close): extended to N=20 — seed-mean delta −0.015 dB,
+inside the ≤0.1 dB target (sd 0.60, SE 0.13; PERF.md "N=20 seed-mean").
 """
 
 import argparse
